@@ -1,0 +1,158 @@
+"""Jitted KV-cached autoregressive decode loop — the engine room.
+
+Replaces BOTH reference decode paths with one XLA program:
+- the vendored HF `GenerationMixin.generate` + GPT2InferenceModel
+  (`gpt/transformers_generation_utils.py:1869`, host Python per token), and
+- the accel engine (paged KV + Triton + CUDA graphs,
+  `accel/accel_engine.py:378-645`).
+
+Design: prefill is one fused causal pass that also populates a dense
+preallocated KV cache; decode is a `lax.while_loop` whose body does one
+token step (scan over stacked layers, masked attention over the cache),
+on-device HF-ordered sampling, stop-token bookkeeping, and early exit when
+every row has emitted stop_mel. XLA compiles this once per
+(prefix_bucket, max_new) pair — the TPU analogue of CUDA-graph capture,
+for free, with no Python in the loop.
+
+Faithful reference quirks (verified against `gpt/model_v2.py:120-160` and the
+HF sample loop):
+- mel position indices during incremental decode are [0] for start_mel and
+  i+2 for the i-th generated token (the reference's off-by-one; the model was
+  served this way, so we replicate it).
+- HF's repetition penalty sees the *fake* prefix input_ids (all 1s plus the
+  start_mel token, `model_v2.py:687-695`), so token id 1 and start_mel are
+  penalized from step one. Replicated via the initial count buffer.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from indextts_tpu import nn
+from indextts_tpu.config import GPTConfig
+from indextts_tpu.models.gpt.gpt2 import (GPT2Dims, gpt2_decode_step,
+                                          gpt2_prefill, init_kv_cache)
+from indextts_tpu.models.gpt.unified_voice import mel_logits_from_hidden
+from indextts_tpu.nn import Params
+from indextts_tpu.ops.sampling import sample_logits
+
+
+@dataclass(frozen=True)
+class SamplingConfig:
+    do_sample: bool = True
+    temperature: float = 0.8
+    top_k: int = 30
+    top_p: float = 0.8
+    repetition_penalty: float = 10.0
+    typical_sampling: bool = False
+    typical_mass: float = 0.9
+    num_beams: int = 1
+    length_penalty: float = 0.0
+
+
+def _embed_mel_token(params: Params, token: jnp.ndarray, pos: jnp.ndarray,
+                     dtype) -> jnp.ndarray:
+    """mel_embedding(token) + mel_pos_embedding(pos); token (B,), pos scalar."""
+    emb = params["mel_embedding"]["weight"].astype(dtype)[token]
+    pemb = jax.lax.dynamic_index_in_dim(
+        params["mel_pos_embedding"]["weight"], pos, axis=0, keepdims=False).astype(dtype)
+    return emb + pemb[None, :]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "dims", "max_new_tokens", "sampling", "dtype"),
+    donate_argnames=(),
+)
+def generate(params: Params, cfg: GPTConfig, dims: GPT2Dims,
+             prefix_embeds: jnp.ndarray, prefix_mask: jnp.ndarray,
+             rng: jax.Array, max_new_tokens: int,
+             sampling: SamplingConfig = SamplingConfig(),
+             dtype=jnp.bfloat16) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sample mel codes.
+
+    prefix_embeds: (B, P, D) left-padded [pad][cond][text] embeddings
+    prefix_mask:   (B, P) bool (True = real content)
+    Returns (codes (B, max_new_tokens) int32 — positions past the stop token
+    hold stop_mel — and lengths (B,) int32 = index of first stop token, i.e.
+    the usable code count, matching `infer_v2.py:607-619`).
+    """
+    B, P, D = prefix_embeds.shape
+    V = cfg.number_mel_codes
+    S = P + 1 + max_new_tokens
+    stop = cfg.stop_mel_token
+
+    prefix_embeds = prefix_embeds.astype(dtype)
+
+    # --- prefill: [prefix][start_mel] -------------------------------------
+    start_tok = jnp.full((B,), cfg.start_mel_token, jnp.int32)
+    start_emb = _embed_mel_token(params, start_tok, 0, dtype)  # mel pos 0
+    seq = jnp.concatenate([prefix_embeds, start_emb[:, None, :]], axis=1)
+    seq_mask = jnp.concatenate([prefix_mask, jnp.ones((B, 1), bool)], axis=1)
+
+    kv = init_kv_cache(dims, B, S, dtype=dtype)
+    hidden, kv = gpt2_prefill(params["gpt"], seq, dims, seq_mask, kv)
+    logits0 = mel_logits_from_hidden(params, hidden[:, -1, :])
+
+    # kv validity over the full cache
+    kv_valid = jnp.zeros((B, S), bool)
+    kv_valid = jax.lax.dynamic_update_slice(kv_valid, seq_mask, (0, 0))
+
+    # --- repetition-penalty count buffer (replicates HF fake-prefix quirk) --
+    counts = jnp.zeros((B, V), jnp.int32)
+    counts = counts.at[:, 1].add(P)              # fake input_ids are all 1s
+    counts = counts.at[:, cfg.start_mel_token].add(1)
+
+    rng, r0 = jax.random.split(rng)
+    tok0 = sample_logits(
+        r0, logits0, counts,
+        temperature=sampling.temperature, top_k=sampling.top_k,
+        top_p=sampling.top_p, repetition_penalty=sampling.repetition_penalty,
+        do_sample=sampling.do_sample,
+        typical_mass=sampling.typical_mass if sampling.typical_sampling else None)
+
+    tokens = jnp.full((B, max_new_tokens), stop, jnp.int32)
+    tokens = tokens.at[:, 0].set(tok0)
+    counts = counts.at[jnp.arange(B), tok0].add(1)
+    finished0 = tok0 == stop
+    lengths0 = jnp.where(finished0, 0, max_new_tokens)
+
+    def cond(state):
+        step, _, _, _, _, finished, _, _ = state
+        return jnp.logical_and(step < max_new_tokens, ~jnp.all(finished))
+
+    def body(state):
+        step, tokens, counts, kv, kv_valid, finished, lengths, rng = state
+        prev_tok = tokens[:, step - 1]
+        # mel position for the i-th generated token is i+2 (reference quirk);
+        # prev_tok is token (step-1) -> pos (step-1)+2 = step+1
+        x = _embed_mel_token(params, prev_tok, step + 1, dtype)
+        pos = P + 1 + step  # absolute cache slot
+        kv_valid = kv_valid.at[:, pos].set(True)
+        h, kv = gpt2_decode_step(params["gpt"], x, dims, pos, kv, kv_valid)
+        logits = mel_logits_from_hidden(params, h)
+        rng, r = jax.random.split(rng)
+        tok = sample_logits(
+            r, logits, counts,
+            temperature=sampling.temperature, top_k=sampling.top_k,
+            top_p=sampling.top_p, repetition_penalty=sampling.repetition_penalty,
+            do_sample=sampling.do_sample,
+            typical_mass=sampling.typical_mass if sampling.typical_sampling else None)
+        tok = jnp.where(finished, stop, tok)
+        tokens = tokens.at[:, step].set(tok)
+        counts = counts.at[jnp.arange(B), tok].add(jnp.where(finished, 0, 1))
+        newly = jnp.logical_and(~finished, tok == stop)
+        lengths = jnp.where(newly, step, lengths)
+        finished = jnp.logical_or(finished, tok == stop)
+        return step + 1, tokens, counts, kv, kv_valid, finished, lengths, rng
+
+    # step index starts at 1: token 0 came from the prefill logits
+    state = (jnp.int32(1), tokens, counts, kv, kv_valid, finished0, lengths0, rng)
+    _, tokens, _, _, _, finished, lengths, _ = jax.lax.while_loop(cond, body, state)
+    lengths = jnp.minimum(lengths, max_new_tokens)
+    return tokens, lengths

@@ -1,0 +1,196 @@
+"""GPT-2 decoder backbone, TPU-native.
+
+Replaces the reference's vendored HF GPT2Model (`gpt/transformers_gpt2.py`,
+1 878 LoC of eager torch) with a functional JAX transformer designed around
+the two phases of TTS decoding:
+
+- ``forward``: full-sequence causal attention (teacher forcing / latent
+  extraction / prefill), one fused XLA program.
+- ``decode_step``: single-token step against a preallocated dense KV cache,
+  shaped for `lax.while_loop` — the analogue of the reference accel engine's
+  CUDA-graph decode (`accel/accel_engine.py:221-376`), except XLA compilation
+  gives the static-graph replay for free.
+
+Layer params are stacked on a leading L axis and iterated with `lax.scan`:
+compile time stays flat in depth, and the KV cache is a single (L, B, S, H, Dh)
+array — the dense-TPU analogue of the reference's paged KV manager
+(`accel/kv_manager.py`), without Python block bookkeeping.
+
+Positional embeddings are handled by the caller (UnifiedVoice adds learned
+mel/text position embeddings to the input embeddings; the backbone's own wpe
+is null — reference `gpt/model_v2.py:272-274`).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from indextts_tpu import nn
+from indextts_tpu.nn import InitRng, Params
+
+
+@dataclass(frozen=True)
+class GPT2Dims:
+    layers: int
+    dim: int
+    heads: int
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.heads
+
+
+def init_gpt2(rng: InitRng, dims: GPT2Dims) -> Params:
+    """Stacked-layer GPT-2 params (HF init scheme: normal(0.02), zeros bias)."""
+    L, D = dims.layers, dims.dim
+
+    def layer(_):
+        return {
+            "ln_1": nn.layer_norm_init(rng, D),
+            "attn": {
+                "c_attn": nn.dense_init(rng, D, 3 * D, std=0.02),
+                "c_proj": nn.dense_init(rng, D, D, std=0.02 / math.sqrt(2 * L)),
+            },
+            "ln_2": nn.layer_norm_init(rng, D),
+            "mlp": {
+                "c_fc": nn.dense_init(rng, D, 4 * D, std=0.02),
+                "c_proj": nn.dense_init(rng, 4 * D, D, std=0.02 / math.sqrt(2 * L)),
+            },
+        }
+
+    layers = [layer(i) for i in range(L)]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+    return {"h": stacked, "ln_f": nn.layer_norm_init(rng, D)}
+
+
+def init_kv_cache(dims: GPT2Dims, batch: int, max_len: int, dtype=jnp.bfloat16) -> Dict:
+    shape = (dims.layers, batch, max_len, dims.heads, dims.head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def _attn_block(lp: Params, x: jnp.ndarray, dims: GPT2Dims,
+                mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Full-sequence self-attention sublayer. x: (B, T, D)."""
+    B, T, D = x.shape
+    h = nn.layer_norm(lp["ln_1"], x)
+    qkv = nn.dense(lp["attn"]["c_attn"], h)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(B, T, dims.heads, dims.head_dim).transpose(0, 2, 1, 3)
+    k = k.reshape(B, T, dims.heads, dims.head_dim).transpose(0, 2, 1, 3)
+    v = v.reshape(B, T, dims.heads, dims.head_dim).transpose(0, 2, 1, 3)
+    out = nn.mha(q, k, v, mask=mask)
+    out = out.transpose(0, 2, 1, 3).reshape(B, T, D)
+    x = x + nn.dense(lp["attn"]["c_proj"], out)
+    h = nn.layer_norm(lp["ln_2"], x)
+    h = nn.dense(lp["mlp"]["c_fc"], h)
+    h = nn.gelu_new(h)
+    x = x + nn.dense(lp["mlp"]["c_proj"], h)
+    return x
+
+
+def gpt2_forward(params: Params, x: jnp.ndarray, dims: GPT2Dims,
+                 attn_mask: Optional[jnp.ndarray] = None,
+                 causal: bool = True) -> jnp.ndarray:
+    """Full-sequence forward. x: (B, T, D) input embeddings (pos already added).
+
+    attn_mask: optional (B, T) validity mask (left-padded batches).
+    Returns final hidden states *before* ln_f (HF GPT2Model applies ln_f
+    internally — we apply it here too, matching `transformer.ln_f`).
+    """
+    B, T, _ = x.shape
+    mask = None
+    if causal:
+        mask = jnp.tril(jnp.ones((T, T), dtype=bool))[None, None]
+    if attn_mask is not None:
+        key_ok = attn_mask[:, None, None, :].astype(bool)
+        mask = key_ok if mask is None else jnp.logical_and(mask, key_ok)
+
+    def body(carry, lp):
+        return _attn_block(lp, carry, dims, mask), None
+
+    x, _ = jax.lax.scan(body, x, params["h"])
+    return nn.layer_norm(params["ln_f"], x)
+
+
+def gpt2_prefill(params: Params, x: jnp.ndarray, dims: GPT2Dims,
+                 attn_mask: jnp.ndarray, kv_cache: Dict) -> Tuple[jnp.ndarray, Dict]:
+    """Prefill: full causal pass that also writes K/V into the cache at [0, T).
+
+    Returns (hidden after ln_f (B, T, D), updated cache).
+    """
+    B, T, D = x.shape
+    causal = jnp.tril(jnp.ones((T, T), dtype=bool))[None, None]
+    mask = jnp.logical_and(causal, attn_mask[:, None, None, :].astype(bool))
+
+    def body(carry, inputs):
+        xc = carry
+        lp, kc, vc = inputs
+        h = nn.layer_norm(lp["ln_1"], xc)
+        qkv = nn.dense(lp["attn"]["c_attn"], h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, T, dims.heads, dims.head_dim)
+        k = k.reshape(B, T, dims.heads, dims.head_dim)
+        v = v.reshape(B, T, dims.heads, dims.head_dim)
+        kc = jax.lax.dynamic_update_slice(kc, k.astype(kc.dtype), (0, 0, 0, 0))
+        vc = jax.lax.dynamic_update_slice(vc, v.astype(vc.dtype), (0, 0, 0, 0))
+        out = nn.mha(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                     v.transpose(0, 2, 1, 3), mask=mask)
+        out = out.transpose(0, 2, 1, 3).reshape(B, T, D)
+        xc = xc + nn.dense(lp["attn"]["c_proj"], out)
+        h = nn.layer_norm(lp["ln_2"], xc)
+        h = nn.gelu_new(nn.dense(lp["mlp"]["c_fc"], h))
+        xc = xc + nn.dense(lp["mlp"]["c_proj"], h)
+        return xc, (kc, vc)
+
+    x, (k_new, v_new) = jax.lax.scan(body, x, (params["h"], kv_cache["k"], kv_cache["v"]))
+    return nn.layer_norm(params["ln_f"], x), {"k": k_new, "v": v_new}
+
+
+def gpt2_decode_step(params: Params, x: jnp.ndarray, dims: GPT2Dims,
+                     pos: jnp.ndarray, kv_cache: Dict,
+                     kv_valid: jnp.ndarray) -> Tuple[jnp.ndarray, Dict]:
+    """One decode step. x: (B, D) embedding of the current token.
+
+    pos: scalar int32 — write index into the cache (same for the whole batch;
+    left-padded batching keeps per-row alignment identical, matching the
+    reference's `prepare_gpt_inputs` layout, `gpt/model_v2.py:633-696`).
+    kv_valid: (B, S) bool — which cache slots are attendable (handles the
+    left-pad region and not-yet-written slots).
+    Returns (hidden (B, D) after ln_f, updated cache).
+    """
+    B, D = x.shape
+    S = kv_cache["k"].shape[2]
+    x = x[:, None, :]  # (B, 1, D)
+
+    def body(carry, inputs):
+        xc = carry
+        lp, kc, vc = inputs
+        h = nn.layer_norm(lp["ln_1"], xc)
+        qkv = nn.dense(lp["attn"]["c_attn"], h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, 1, dims.heads, dims.head_dim)
+        k = k.reshape(B, 1, dims.heads, dims.head_dim)
+        v = v.reshape(B, 1, dims.heads, dims.head_dim)
+        kc = jax.lax.dynamic_update_slice(kc, k.astype(kc.dtype), (0, pos, 0, 0))
+        vc = jax.lax.dynamic_update_slice(vc, v.astype(vc.dtype), (0, pos, 0, 0))
+        # attention over the whole cache, masked to valid slots
+        qh = q.transpose(0, 2, 1, 3)                      # (B, H, 1, Dh)
+        kh = kc.transpose(0, 2, 1, 3)                     # (B, H, S, Dh)
+        vh = vc.transpose(0, 2, 1, 3)
+        mask = kv_valid[:, None, None, :]                 # (B, 1, 1, S)
+        out = nn.mha(qh, kh.astype(qh.dtype), vh.astype(qh.dtype), mask=mask)
+        out = out.transpose(0, 2, 1, 3).reshape(B, 1, D)
+        xc = xc + nn.dense(lp["attn"]["c_proj"], out)
+        h = nn.layer_norm(lp["ln_2"], xc)
+        h = nn.gelu_new(nn.dense(lp["mlp"]["c_fc"], h))
+        xc = xc + nn.dense(lp["mlp"]["c_proj"], h)
+        return xc, (kc, vc)
+
+    x, (k_new, v_new) = jax.lax.scan(body, x, (params["h"], kv_cache["k"], kv_cache["v"]))
+    x = nn.layer_norm(params["ln_f"], x)
+    return x[:, 0, :], {"k": k_new, "v": v_new}

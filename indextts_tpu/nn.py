@@ -1,0 +1,316 @@
+"""Minimal functional NN layer library (param pytrees + pure functions).
+
+Design: every model in this framework is a pure function over a nested dict of
+jnp arrays. No module state, no tracing magic — params are explicit pytrees so
+they can be sharded with `jax.sharding`, donated, converted from torch
+checkpoints mechanically, and closed over by jitted programs.
+
+Conventions:
+- Dense kernels are stored (in, out) — apply as ``x @ kernel``; the torch
+  converter transposes ``nn.Linear.weight``.
+- Conv1d kernels are stored (width, in, out) for ``lax.conv_general_dilated``
+  with dimension_numbers ('NWC','WIO','NWC'); torch Conv1d weight (out,in,w)
+  converts via transpose(2,1,0). Activations are (batch, time, channels)
+  everywhere — the TPU-friendly layout (channels on the 128-lane minor dim).
+- Compute dtype is configurable; params default to fp32 and are cast at use.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# initializers (numpy host-side: cheap, deterministic, no device churn)
+# ---------------------------------------------------------------------------
+
+class InitRng:
+    """Stateful numpy RNG wrapper for parameter initialization."""
+
+    def __init__(self, seed: int = 0):
+        self.rng = np.random.default_rng(seed)
+
+    def normal(self, shape, std=0.02):
+        return jnp.asarray(self.rng.normal(0.0, std, size=shape).astype(np.float32))
+
+    def uniform(self, shape, a, b):
+        return jnp.asarray(self.rng.uniform(a, b, size=shape).astype(np.float32))
+
+    def zeros(self, shape):
+        return jnp.zeros(shape, dtype=jnp.float32)
+
+    def ones(self, shape):
+        return jnp.ones(shape, dtype=jnp.float32)
+
+    def kaiming_conv1d(self, width, in_ch, out_ch, groups=1):
+        # torch Conv1d default: kaiming_uniform(a=sqrt(5)) == U(-b, b),
+        # b = 1/sqrt(fan_in), fan_in = in_ch/groups * width
+        fan_in = (in_ch // groups) * width
+        bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+        return self.uniform((width, in_ch // groups, out_ch), -bound, bound)
+
+    def kaiming_dense(self, in_dim, out_dim):
+        bound = 1.0 / math.sqrt(in_dim)
+        return self.uniform((in_dim, out_dim), -bound, bound)
+
+    def xavier_uniform(self, shape):
+        fan_in, fan_out = shape[0], shape[-1]
+        bound = math.sqrt(6.0 / (fan_in + fan_out))
+        return self.uniform(shape, -bound, bound)
+
+
+# ---------------------------------------------------------------------------
+# dense / embedding
+# ---------------------------------------------------------------------------
+
+def dense_init(rng: InitRng, in_dim: int, out_dim: int, bias: bool = True,
+               std: Optional[float] = None) -> Params:
+    if std is None:
+        kernel = rng.kaiming_dense(in_dim, out_dim)
+        b_bound = 1.0 / math.sqrt(in_dim)
+        p = {"kernel": kernel}
+        if bias:
+            p["bias"] = rng.uniform((out_dim,), -b_bound, b_bound)
+    else:
+        p = {"kernel": rng.normal((in_dim, out_dim), std)}
+        if bias:
+            p["bias"] = rng.zeros((out_dim,))
+    return p
+
+
+def dense(p: Params, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
+    dtype = dtype or x.dtype
+    y = jnp.dot(x, p["kernel"].astype(dtype), preferred_element_type=jnp.float32)
+    if "bias" in p:
+        y = y + p["bias"].astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def embedding_init(rng: InitRng, num: int, dim: int, std: float = 0.02) -> Params:
+    return {"weight": rng.normal((num, dim), std)}
+
+
+def embedding(p: Params, ids: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    return p["weight"].astype(dtype)[ids]
+
+
+# ---------------------------------------------------------------------------
+# norms
+# ---------------------------------------------------------------------------
+
+def layer_norm_init(rng: InitRng, dim: int, affine: bool = True) -> Params:
+    return {"weight": rng.ones((dim,)), "bias": rng.zeros((dim,))} if affine else {}
+
+
+def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    if "weight" in p:
+        y = y * p["weight"] + p["bias"]
+    return y.astype(dt)
+
+
+def rms_norm_init(rng: InitRng, dim: int) -> Params:
+    return {"weight": rng.ones((dim,))}
+
+
+def rms_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """gpt_fast-style RMSNorm: normalize in fp32, scale by weight.
+
+    Behavioral reference: `s2mel/modules/gpt_fast/model.py:322-333`.
+    """
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    y = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return (y.astype(dt) * p["weight"].astype(dt)) if "weight" in p else y.astype(dt)
+
+
+def l2norm_scale_init(rng: InitRng, dim: int, scale: bool = True) -> Params:
+    return {"gamma": rng.ones((dim,))} if scale else {}
+
+
+def l2norm_scaled(p: Params, x: jnp.ndarray, dim: int) -> jnp.ndarray:
+    """Perceiver RMSNorm variant: F.normalize(x) * sqrt(dim) * gamma.
+
+    Behavioral reference: `gpt/perceiver.py:167-186`.
+    """
+    xf = x.astype(jnp.float32)
+    n = xf * jax.lax.rsqrt(jnp.maximum(jnp.sum(xf * xf, axis=-1, keepdims=True), 1e-24))
+    y = n * math.sqrt(dim)
+    if "gamma" in p:
+        y = y * p["gamma"]
+    return y.astype(x.dtype)
+
+
+def group_norm_init(rng: InitRng, channels: int) -> Params:
+    return {"weight": rng.ones((channels,)), "bias": rng.zeros((channels,))}
+
+
+def group_norm(p: Params, x: jnp.ndarray, groups: int, eps: float = 1e-5) -> jnp.ndarray:
+    """GroupNorm over (B, T, C) activations (normalizes per group over T and C/G)."""
+    b, t, c = x.shape
+    dt = x.dtype
+    xf = x.astype(jnp.float32).reshape(b, t, groups, c // groups)
+    mu = jnp.mean(xf, axis=(1, 3), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=(1, 3), keepdims=True)
+    y = ((xf - mu) * jax.lax.rsqrt(var + eps)).reshape(b, t, c)
+    return (y * p["weight"] + p["bias"]).astype(dt)
+
+
+# ---------------------------------------------------------------------------
+# convolutions — (B, T, C) activations
+# ---------------------------------------------------------------------------
+
+def conv1d_init(rng: InitRng, in_ch: int, out_ch: int, width: int,
+                bias: bool = True, groups: int = 1) -> Params:
+    p = {"kernel": rng.kaiming_conv1d(width, in_ch, out_ch, groups)}
+    if bias:
+        fan_in = (in_ch // groups) * width
+        bound = 1.0 / math.sqrt(fan_in)
+        p["bias"] = rng.uniform((out_ch,), -bound, bound)
+    return p
+
+
+def conv1d(p: Params, x: jnp.ndarray, stride: int = 1, padding="SAME",
+           dilation: int = 1, groups: int = 1, dtype=None) -> jnp.ndarray:
+    """1-D conv over (B, T, C) with kernel (W, Cin/groups, Cout)."""
+    dtype = dtype or x.dtype
+    kernel = p["kernel"].astype(dtype)
+    if isinstance(padding, int):
+        padding = [(padding, padding)]
+    elif isinstance(padding, tuple):
+        padding = [padding]
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), kernel,
+        window_strides=(stride,),
+        padding=padding if not isinstance(padding, str) else padding,
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    )
+    if "bias" in p:
+        y = y + p["bias"].astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def conv_transpose1d(p: Params, x: jnp.ndarray, stride: int, padding: int = 0,
+                     groups: int = 1, dtype=None) -> jnp.ndarray:
+    """Transposed 1-D conv matching torch ConvTranspose1d semantics.
+
+    torch: out_len = (T-1)*stride - 2*padding + width. Kernel stored
+    (W, Cout/groups... ) — we store (W, Cin/groups, Cout) *in the transposed
+    orientation* so the converter maps torch's (Cin, Cout/groups, W) with a
+    flip+transpose. Implemented as lhs-dilated conv (XLA's native form).
+    """
+    dtype = dtype or x.dtype
+    kernel = p["kernel"].astype(dtype)  # (W, Cin/groups, Cout) already flipped
+    w = kernel.shape[0]
+    pad = w - 1 - padding
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), kernel,
+        window_strides=(1,),
+        padding=[(pad, pad)],
+        lhs_dilation=(stride,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    )
+    if "bias" in p:
+        y = y + p["bias"].astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def conv2d_init(rng: InitRng, in_ch: int, out_ch: int, kh: int, kw: int,
+                bias: bool = True) -> Params:
+    fan_in = in_ch * kh * kw
+    bound = 1.0 / math.sqrt(fan_in)
+    p = {"kernel": rng.uniform((kh, kw, in_ch, out_ch), -bound, bound)}
+    if bias:
+        p["bias"] = rng.uniform((out_ch,), -bound, bound)
+    return p
+
+
+def conv2d(p: Params, x: jnp.ndarray, stride: Tuple[int, int] = (1, 1),
+           padding="VALID", dtype=None) -> jnp.ndarray:
+    """2-D conv over (B, H, W, C)."""
+    dtype = dtype or x.dtype
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), p["kernel"].astype(dtype),
+        window_strides=stride,
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    if "bias" in p:
+        y = y + p["bias"].astype(jnp.float32)
+    return y.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# attention (dense, XLA-fused; the decode path uses engine/decode.py)
+# ---------------------------------------------------------------------------
+
+def mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None, scale: Optional[float] = None) -> jnp.ndarray:
+    """(B, H, Tq, D) x (B, H, Tk, D) -> (B, H, Tq, D), softmax in fp32."""
+    d = q.shape[-1]
+    scale = scale if scale is not None else 1.0 / math.sqrt(d)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.float32(-1e9))
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# activations
+# ---------------------------------------------------------------------------
+
+def gelu_new(x: jnp.ndarray) -> jnp.ndarray:
+    """GPT-2's tanh-approx GELU."""
+    xf = x.astype(jnp.float32)
+    y = 0.5 * xf * (1.0 + jnp.tanh(0.7978845608028654 * (xf + 0.044715 * xf ** 3)))
+    return y.astype(x.dtype)
+
+
+def mish(x: jnp.ndarray) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    return (xf * jnp.tanh(jax.nn.softplus(xf))).astype(x.dtype)
+
+
+def glu(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    a, b = jnp.split(x, 2, axis=axis)
+    return a * jax.nn.sigmoid(b)
+
+
+# ---------------------------------------------------------------------------
+# misc
+# ---------------------------------------------------------------------------
+
+def sequence_mask(lengths: jnp.ndarray, max_length: int) -> jnp.ndarray:
+    """(B,) lengths -> (B, max_length) bool mask."""
+    return jnp.arange(max_length)[None, :] < lengths[:, None]
+
+
+def count_params(tree) -> int:
+    return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(tree))
+
+
+def cast_tree(tree, dtype):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x, tree
+    )

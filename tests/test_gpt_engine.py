@@ -1,0 +1,148 @@
+"""GPT backbone + decode engine tests (tiny dims, CPU).
+
+Key invariant: the incremental KV-cached decode path must produce exactly the
+same hidden states as the full-sequence forward (this is what the reference
+relies on HF past-KV for).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from indextts_tpu.config import ConditionModuleConfig, GPTConfig
+from indextts_tpu.engine.decode import SamplingConfig, generate
+from indextts_tpu.models.gpt import gpt2
+from indextts_tpu.models.gpt.unified_voice import (init_unified_voice,
+                                                   prepare_prefix_embeds)
+from indextts_tpu.nn import InitRng
+
+
+TINY = GPTConfig(
+    layers=2, model_dim=64, heads=4, max_text_tokens=30, max_mel_tokens=60,
+    number_text_tokens=40, number_mel_codes=50, start_mel_token=48,
+    stop_mel_token=49,
+    condition_module=ConditionModuleConfig(output_size=32, linear_units=48,
+                                           attention_heads=2, num_blocks=1,
+                                           input_layer="linear", perceiver_mult=2),
+    emo_condition_module=ConditionModuleConfig(output_size=32, linear_units=48,
+                                               attention_heads=2, num_blocks=1,
+                                               input_layer="linear", perceiver_mult=2),
+)
+
+
+@pytest.fixture(scope="module")
+def dims():
+    return gpt2.GPT2Dims(TINY.layers, TINY.model_dim, TINY.heads)
+
+
+@pytest.fixture(scope="module")
+def gpt_params(dims):
+    return gpt2.init_gpt2(InitRng(0), dims)
+
+
+def test_prefill_matches_forward(gpt_params, dims, rng):
+    B, T = 2, 9
+    x = jnp.asarray(rng.standard_normal((B, T, dims.dim)), jnp.float32)
+    mask = jnp.ones((B, T), bool)
+    full = gpt2.gpt2_forward(gpt_params, x, dims, attn_mask=mask)
+    kv = gpt2.init_kv_cache(dims, B, T + 4, dtype=jnp.float32)
+    pre, kv = gpt2.gpt2_prefill(gpt_params, x, dims, mask, kv)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(pre), atol=1e-5)
+
+
+def test_decode_step_matches_forward(gpt_params, dims, rng):
+    """Full forward over T+K tokens == prefill(T) + K decode steps."""
+    B, T, K = 2, 6, 4
+    S = T + K
+    x = jnp.asarray(rng.standard_normal((B, S, dims.dim)), jnp.float32)
+    mask = jnp.ones((B, S), bool)
+    full = gpt2.gpt2_forward(gpt_params, x, dims, attn_mask=mask)
+
+    kv = gpt2.init_kv_cache(dims, B, S, dtype=jnp.float32)
+    _, kv = gpt2.gpt2_prefill(gpt_params, x[:, :T], dims, mask[:, :T], kv)
+    kv_valid = jnp.concatenate([jnp.ones((B, T), bool), jnp.zeros((B, K), bool)], 1)
+    outs = []
+    for i in range(K):
+        pos = T + i
+        kv_valid = kv_valid.at[:, pos].set(True)
+        h, kv = gpt2.gpt2_decode_step(gpt_params, x[:, pos], dims, pos, kv, kv_valid)
+        outs.append(h)
+    inc = jnp.stack(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(full[:, T:]), np.asarray(inc), atol=2e-5)
+
+
+def test_left_padded_prefix_equivalence(gpt_params, dims, rng):
+    """A left-padded row must produce the same last-position hidden state as
+    the unpadded sequence (the contract prepare_gpt_inputs relies on)."""
+    T, P = 5, 8
+    x = jnp.asarray(rng.standard_normal((1, T, dims.dim)), jnp.float32)
+    full = gpt2.gpt2_forward(gpt_params, x, dims, attn_mask=jnp.ones((1, T), bool))
+
+    xp = jnp.concatenate([jnp.zeros((1, P - T, dims.dim), jnp.float32), x], axis=1)
+    maskp = jnp.concatenate([jnp.zeros((1, P - T), bool), jnp.ones((1, T), bool)], 1)
+    fullp = gpt2.gpt2_forward(gpt_params, xp, dims, attn_mask=maskp)
+    np.testing.assert_allclose(np.asarray(full[:, -1]), np.asarray(fullp[:, -1]), atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def uv_params():
+    return init_unified_voice(InitRng(1), TINY)
+
+
+def test_prepare_prefix_embeds_layout(uv_params):
+    cfg = TINY
+    B, L = 2, 6
+    text = jnp.asarray([[5, 6, 7, 8, 0, 0], [9, 10, 11, 12, 13, 14]], jnp.int32)
+    lens = jnp.asarray([4, 6], jnp.int32)
+    conds = jnp.asarray(np.random.default_rng(3).standard_normal((B, 3, cfg.model_dim)), jnp.float32)
+    P = 3 + L + 2
+    emb, mask = prepare_prefix_embeds(uv_params, cfg, conds, text, lens, P)
+    assert emb.shape == (B, P, cfg.model_dim)
+    # row 0: content len = 3 + 4 + 2 = 9, so 2 pad slots on the left
+    assert not bool(mask[0, 0]) and not bool(mask[0, 1]) and bool(mask[0, 2])
+    assert bool(mask.all(axis=1)[1])  # row 1 exactly fills the buffer
+    # left pads are zeroed
+    np.testing.assert_allclose(np.asarray(emb[0, :2]), 0.0)
+    # conds land right after the pads
+    np.testing.assert_allclose(np.asarray(emb[0, 2:5]), np.asarray(conds[0]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(emb[1, 0:3]), np.asarray(conds[1]), atol=1e-6)
+
+
+def test_generate_shapes_and_stop(uv_params, dims):
+    cfg = TINY
+    B, L = 2, 4
+    text = jnp.asarray([[5, 6, 7, 8], [9, 10, 11, 3]], jnp.int32)
+    lens = jnp.asarray([4, 4], jnp.int32)
+    conds = jnp.zeros((B, 3, cfg.model_dim), jnp.float32)
+    P = 3 + L + 2
+    emb, mask = prepare_prefix_embeds(uv_params, cfg, conds, text, lens, P)
+    codes, lengths = generate(
+        uv_params, cfg, dims, emb, mask, jax.random.PRNGKey(0),
+        max_new_tokens=12, sampling=SamplingConfig(temperature=1.0, top_k=0,
+                                                   top_p=1.0, repetition_penalty=1.0),
+        dtype=jnp.float32)
+    codes = np.asarray(codes)
+    lengths = np.asarray(lengths)
+    assert codes.shape == (B, 12)
+    assert lengths.shape == (B,)
+    for b in range(B):
+        # everything past the first stop is stop-padded
+        stops = np.where(codes[b] == cfg.stop_mel_token)[0]
+        if len(stops) and stops[0] < 12:
+            assert lengths[b] == stops[0]
+            assert (codes[b, stops[0]:] == cfg.stop_mel_token).all()
+
+
+def test_generate_greedy_deterministic(uv_params, dims):
+    cfg = TINY
+    text = jnp.asarray([[5, 6, 7]], jnp.int32)
+    lens = jnp.asarray([3], jnp.int32)
+    conds = jnp.zeros((1, 2, cfg.model_dim), jnp.float32)
+    emb, mask = prepare_prefix_embeds(uv_params, cfg, conds, text, lens, 7)
+    s = SamplingConfig(do_sample=False, repetition_penalty=1.0)
+    c1, _ = generate(uv_params, cfg, dims, emb, mask, jax.random.PRNGKey(0),
+                     max_new_tokens=8, sampling=s, dtype=jnp.float32)
+    c2, _ = generate(uv_params, cfg, dims, emb, mask, jax.random.PRNGKey(7),
+                     max_new_tokens=8, sampling=s, dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
