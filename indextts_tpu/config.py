@@ -223,10 +223,14 @@ class WaveNetConfig:
 
 @dataclass(frozen=True)
 class LengthRegulatorConfig:
+    # NOTE: the shipped pipeline feeds *continuous* codec embeddings
+    # (quantized w2v-bert features / vq2emb outputs, both 1024-d) into the
+    # regulator (`infer_v2.py:454,648-656`), so is_discrete=False with a
+    # 1024-d content_in_proj.
     channels: int = 512
-    is_discrete: bool = True
+    is_discrete: bool = False
     content_codebook_size: int = 8192
-    in_channels: Optional[int] = None
+    in_channels: Optional[int] = 1024
     out_channels: Optional[int] = None
     sampling_ratios: Tuple[int, ...] = (1, 1, 1, 1)
     vector_quantize: bool = False

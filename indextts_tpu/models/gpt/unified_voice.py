@@ -231,13 +231,15 @@ def forward_latents(params: Params, cfg: GPTConfig,
     states over the mel span minus the last two positions.
     """
     B, Lt = text_ids.shape
-    # pad text rows with stop tokens beyond their length, then add start/stop
+    # pad text rows with stop tokens beyond their length; input stream is
+    # [start][text][stop] (one stop from F.pad(0,1); build_aligned adds start
+    # to the *input* and the extra stop only to targets, model_v2.py:488-491)
     arange_t = jnp.arange(Lt)[None, :]
     text_ids = jnp.where(arange_t < text_lens[:, None], text_ids, cfg.stop_text_token)
     text_in = jnp.concatenate(
         [jnp.full((B, 1), cfg.start_text_token, jnp.int32),
          text_ids.astype(jnp.int32),
-         jnp.full((B, 2), cfg.stop_text_token, jnp.int32)], axis=1)
+         jnp.full((B, 1), cfg.stop_text_token, jnp.int32)], axis=1)
 
     Lm = mel_codes.shape[1]
     arange_m = jnp.arange(Lm)[None, :]
@@ -245,7 +247,7 @@ def forward_latents(params: Params, cfg: GPTConfig,
     mel_in = jnp.concatenate(
         [jnp.full((B, 1), cfg.start_mel_token, jnp.int32),
          mel_codes.astype(jnp.int32),
-         jnp.full((B, 2), cfg.stop_mel_token, jnp.int32)], axis=1)
+         jnp.full((B, 1), cfg.stop_mel_token, jnp.int32)], axis=1)
 
     conds = build_conds_latent(params, cond_latents, emo_vec).astype(dtype)
     text_emb = nn.embedding(params["text_embedding"], text_in, dtype) \

@@ -156,13 +156,25 @@ def group_norm_init(rng: InitRng, channels: int) -> Params:
     return {"weight": rng.ones((channels,)), "bias": rng.zeros((channels,))}
 
 
-def group_norm(p: Params, x: jnp.ndarray, groups: int, eps: float = 1e-5) -> jnp.ndarray:
-    """GroupNorm over (B, T, C) activations (normalizes per group over T and C/G)."""
+def group_norm(p: Params, x: jnp.ndarray, groups: int, eps: float = 1e-5,
+               mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """GroupNorm over (B, T, C) activations (normalizes per group over T and C/G).
+
+    ``mask`` (B, T) restricts the statistics to valid frames — needed when a
+    static length bucket pads the time axis (the torch reference computes
+    stats over exact-length tensors).
+    """
     b, t, c = x.shape
     dt = x.dtype
     xf = x.astype(jnp.float32).reshape(b, t, groups, c // groups)
-    mu = jnp.mean(xf, axis=(1, 3), keepdims=True)
-    var = jnp.mean(jnp.square(xf - mu), axis=(1, 3), keepdims=True)
+    if mask is not None:
+        m = mask.astype(jnp.float32)[:, :, None, None]
+        denom = jnp.maximum(jnp.sum(m, axis=1, keepdims=True) * (c // groups), 1.0)
+        mu = jnp.sum(xf * m, axis=(1, 3), keepdims=True) / denom
+        var = jnp.sum(jnp.square(xf - mu) * m, axis=(1, 3), keepdims=True) / denom
+    else:
+        mu = jnp.mean(xf, axis=(1, 3), keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), axis=(1, 3), keepdims=True)
     y = ((xf - mu) * jax.lax.rsqrt(var + eps)).reshape(b, t, c)
     return (y * p["weight"] + p["bias"]).astype(dt)
 
@@ -304,6 +316,24 @@ def glu(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
 def sequence_mask(lengths: jnp.ndarray, max_length: int) -> jnp.ndarray:
     """(B,) lengths -> (B, max_length) bool mask."""
     return jnp.arange(max_length)[None, :] < lengths[:, None]
+
+
+def masked_reflect_pad(x: jnp.ndarray, lengths: jnp.ndarray, pad_left: int,
+                       pad_right: int) -> jnp.ndarray:
+    """Reflect-pad (B, T, C) around each row's *valid* region [0, len).
+
+    Emulates torch reflect padding on exact-length tensors while keeping a
+    static padded buffer: indices beyond len-1 reflect back off the valid
+    boundary (needed because encodec's SConv1d reflect-pads, and our length
+    buckets would otherwise reflect into the zero tail).
+    """
+    T = x.shape[1]
+    idx = jnp.arange(-pad_left, T + pad_right)[None, :]  # (1, T+pl+pr)
+    i = jnp.abs(idx)  # reflect at 0
+    last = jnp.maximum(lengths[:, None] - 1, 0)
+    i = last - jnp.abs(last - i)  # reflect at len-1
+    i = jnp.clip(i, 0, T - 1)
+    return jnp.take_along_axis(x, i[:, :, None], axis=1)
 
 
 def count_params(tree) -> int:
