@@ -1,0 +1,125 @@
+"""BigVGAN-v2 neural vocoder, TPU-native.
+
+Behavioral reference: `/root/reference/indextts/s2mel/modules/bigvgan/bigvgan.py`
+(NVIDIA BigVGAN-v2, `nvidia/bigvgan_v2_22khz_80band_256x` config):
+
+  conv_pre(80 -> 1536, k7)
+  6 stages: weight-normed ConvTranspose1d upsample (rates 4,4,2,2,2,2) ->
+            mean of 3 AMPBlock1 resblocks (kernels 3/7/11, dilations 1/3/5,
+            anti-aliased snakebeta activations between convs)
+  snakebeta post-activation -> conv_post(ch -> 1, k7, no bias) -> clamp [-1,1]
+
+TPU design: (B, T, C) layout so every conv is an NWC `conv_general_dilated`
+on the MXU; the anti-aliased activations call the fused op in `ops/snake.py`
+(Pallas kernel underneath when enabled). Weight norm is folded at conversion
+(reference calls remove_weight_norm at load, `bigvgan.py:388-400`).
+
+Static length buckets: every op is masked/length-aware so the output matches
+the reference's exact-length computation; callers slice wav[: len * 256].
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from indextts_tpu import nn
+from indextts_tpu.config import BigVGANConfig
+from indextts_tpu.nn import InitRng, Params
+from indextts_tpu.ops.snake import antialias_activation
+
+
+def _get_padding(k: int, d: int) -> int:
+    return (k * d - d) // 2
+
+
+def init_bigvgan(rng: InitRng, h: BigVGANConfig) -> Params:
+    ch0 = h.upsample_initial_channel
+    p: Params = {"conv_pre": nn.conv1d_init(rng, h.num_mels, ch0, 7)}
+    ups = []
+    resblocks = []
+    for i, (u, k) in enumerate(zip(h.upsample_rates, h.upsample_kernel_sizes)):
+        cin = ch0 // (2 ** i)
+        cout = ch0 // (2 ** (i + 1))
+        ups.append({"kernel": rng.normal((k, cin, cout), std=0.01),
+                    "bias": rng.zeros((cout,))})
+        for ks, dils in zip(h.resblock_kernel_sizes, h.resblock_dilation_sizes):
+            convs1 = [nn.conv1d_init(rng, cout, cout, ks) for _ in dils]
+            convs2 = [nn.conv1d_init(rng, cout, cout, ks) for _ in dils]
+            acts = []
+            for _ in range(2 * len(dils)):
+                a = {"alpha": rng.zeros((cout,))}
+                if h.activation == "snakebeta":
+                    a["beta"] = rng.zeros((cout,))
+                acts.append(a)
+            resblocks.append({"convs1": convs1, "convs2": convs2, "acts": acts})
+    p["ups"] = ups
+    p["resblocks"] = resblocks
+    ch_last = ch0 // (2 ** len(h.upsample_rates))
+    p["activation_post"] = {"alpha": rng.zeros((ch_last,))}
+    if h.activation == "snakebeta":
+        p["activation_post"]["beta"] = rng.zeros((ch_last,))
+    p["conv_post"] = nn.conv1d_init(rng, ch_last, 1, 7, bias=h.use_bias_at_final)
+    return p
+
+
+def _mask(x: jnp.ndarray, lengths: Optional[jnp.ndarray]) -> jnp.ndarray:
+    if lengths is None:
+        return x
+    return jnp.where(nn.sequence_mask(lengths, x.shape[1])[:, :, None], x, 0.0)
+
+
+def _amp_block(bp: Params, h: BigVGANConfig, x: jnp.ndarray, ks: int,
+               dils, lengths: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """AMPBlock1 (reference `bigvgan.py:31-148`)."""
+    beta_key = "beta" if h.activation == "snakebeta" else None
+    for j, d in enumerate(dils):
+        a1, a2 = bp["acts"][2 * j], bp["acts"][2 * j + 1]
+        xt = antialias_activation(x, a1["alpha"], a1.get("beta"), lengths,
+                                  h.snake_logscale)
+        xt = _mask(xt, lengths)
+        xt = nn.conv1d(bp["convs1"][j], xt, padding=_get_padding(ks, d), dilation=d)
+        xt = _mask(xt, lengths)
+        xt = antialias_activation(xt, a2["alpha"], a2.get("beta"), lengths,
+                                  h.snake_logscale)
+        xt = _mask(xt, lengths)
+        xt = nn.conv1d(bp["convs2"][j], xt, padding=_get_padding(ks, 1))
+        x = x + xt
+        x = _mask(x, lengths)
+    return x
+
+
+def bigvgan_forward(p: Params, h: BigVGANConfig, mel: jnp.ndarray,
+                    mel_lens: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """mel: (B, T, num_mels) -> wav (B, T * prod(rates)) in [-1, 1].
+
+    mel_lens masks padded length buckets; outputs past len*prod(rates) are 0.
+    """
+    x = _mask(mel, mel_lens)
+    x = nn.conv1d(p["conv_pre"], x, padding=3)
+    lens = mel_lens
+    num_kernels = len(h.resblock_kernel_sizes)
+    for i, (u, k) in enumerate(zip(h.upsample_rates, h.upsample_kernel_sizes)):
+        x = _mask(x, lens)
+        x = nn.conv_transpose1d(p["ups"][i], x, stride=u, padding=(k - u) // 2)
+        if lens is not None:
+            lens = lens * u
+        x = _mask(x, lens)
+        xs = None
+        for j, (ks, dils) in enumerate(zip(h.resblock_kernel_sizes,
+                                           h.resblock_dilation_sizes)):
+            r = _amp_block(p["resblocks"][i * num_kernels + j], h, x, ks, dils, lens)
+            xs = r if xs is None else xs + r
+        x = xs / num_kernels
+    ap = p["activation_post"]
+    x = antialias_activation(x, ap["alpha"], ap.get("beta"), lens, h.snake_logscale)
+    x = _mask(x, lens)
+    x = nn.conv1d(p["conv_post"], x, padding=3)
+    if h.use_tanh_at_final:
+        x = jnp.tanh(x)
+    else:
+        x = jnp.clip(x, -1.0, 1.0)
+    x = _mask(x, lens)
+    return x[..., 0]

@@ -1,0 +1,183 @@
+"""Snake activations and anti-aliased activation ops (BigVGAN-v2).
+
+Behavioral reference:
+- Snake/SnakeBeta: `s2mel/modules/bigvgan/activations.py:9-120`
+  snake:      x + (1/(a+1e-9)) * sin^2(a*x)
+  snakebeta:  x + (1/(b+1e-9)) * sin^2(a*x), a/b optionally stored in log scale
+- Anti-aliased activation (up2 -> act -> down2) with kaiser-windowed sinc
+  filters: `alias_free_activation/torch/{filter,resample,act}.py` and the
+  fused CUDA kernel `alias_free_activation/cuda/anti_alias_activation_cuda.cu`.
+
+This module provides the XLA composite path; all ops run on (B, T, C)
+activations and take a per-row valid length so static length buckets are
+bit-faithful to the reference's exact-length tensors (replicate padding
+replicates the last *valid* frame, not the buffer edge). The fused Pallas
+kernel lives in `ops/pallas/antialias.py` and must match this reference
+implementation.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# kaiser sinc filter design (host-side, numpy)
+# ---------------------------------------------------------------------------
+
+def _i0(x):
+    # numpy has modified bessel via np.i0
+    return np.i0(x)
+
+
+def kaiser_window(n: int, beta: float) -> np.ndarray:
+    """torch.kaiser_window(periodic=False) equivalent."""
+    if n == 1:
+        return np.ones(1)
+    k = np.arange(n, dtype=np.float64)
+    alpha = (n - 1) / 2.0
+    return _i0(beta * np.sqrt(1 - ((k - alpha) / alpha) ** 2)) / _i0(beta)
+
+
+def kaiser_sinc_filter1d(cutoff: float, half_width: float, kernel_size: int) -> np.ndarray:
+    """Reference `filter.py:27-60`. Returns (kernel_size,) filter, sum=1 @ DC."""
+    even = kernel_size % 2 == 0
+    half_size = kernel_size // 2
+    delta_f = 4 * half_width
+    A = 2.285 * (half_size - 1) * math.pi * delta_f + 7.95
+    if A > 50.0:
+        beta = 0.1102 * (A - 8.7)
+    elif A >= 21.0:
+        beta = 0.5842 * (A - 21) ** 0.4 + 0.07886 * (A - 21.0)
+    else:
+        beta = 0.0
+    window = kaiser_window(kernel_size, beta)
+    if even:
+        time = np.arange(-half_size, half_size) + 0.5
+    else:
+        time = np.arange(kernel_size) - half_size
+    if cutoff == 0:
+        return np.zeros(kernel_size)
+    f = 2 * cutoff * window * np.sinc(2 * cutoff * time)
+    f /= f.sum()
+    return f.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=8)
+def up_filter(ratio: int = 2, kernel_size: Optional[int] = None) -> np.ndarray:
+    ks = int(6 * ratio // 2) * 2 if kernel_size is None else kernel_size
+    return kaiser_sinc_filter1d(0.5 / ratio, 0.6 / ratio, ks)
+
+
+@functools.lru_cache(maxsize=8)
+def down_filter(ratio: int = 2, kernel_size: Optional[int] = None) -> np.ndarray:
+    ks = int(6 * ratio // 2) * 2 if kernel_size is None else kernel_size
+    return kaiser_sinc_filter1d(0.5 / ratio, 0.6 / ratio, ks)
+
+
+# ---------------------------------------------------------------------------
+# snake activations — (B, T, C)
+# ---------------------------------------------------------------------------
+
+def snake(x: jnp.ndarray, alpha: jnp.ndarray, logscale: bool = True) -> jnp.ndarray:
+    a = alpha.astype(jnp.float32)
+    if logscale:
+        a = jnp.exp(a)
+    xf = x.astype(jnp.float32)
+    s = jnp.sin(xf * a)
+    return (xf + s * s / (a + 1e-9)).astype(x.dtype)
+
+
+def snake_beta(x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray,
+               logscale: bool = True) -> jnp.ndarray:
+    a = alpha.astype(jnp.float32)
+    b = beta.astype(jnp.float32)
+    if logscale:
+        a, b = jnp.exp(a), jnp.exp(b)
+    xf = x.astype(jnp.float32)
+    s = jnp.sin(xf * a)
+    return (xf + s * s / (b + 1e-9)).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# resampling — (B, T, C), valid-length aware
+# ---------------------------------------------------------------------------
+
+def _replicate_pad_valid(x: jnp.ndarray, lengths: Optional[jnp.ndarray],
+                         pad_l: int, pad_r: int) -> jnp.ndarray:
+    """Replicate-pad around each row's valid region via clamped gather."""
+    T = x.shape[1]
+    idx = jnp.arange(-pad_l, T + pad_r)[None, :]
+    if lengths is None:
+        i = jnp.clip(idx, 0, T - 1)
+        i = jnp.broadcast_to(i, (x.shape[0], i.shape[1]))
+    else:
+        i = jnp.clip(idx, 0, jnp.maximum(lengths[:, None] - 1, 0))
+    return jnp.take_along_axis(x, i[:, :, None], axis=1)
+
+
+def _depthwise_kernel(filt: np.ndarray, channels: int, dtype) -> jnp.ndarray:
+    # (W,) -> (W, 1, C) for feature_group_count=C
+    k = jnp.asarray(filt, dtype)
+    return jnp.broadcast_to(k[:, None, None], (filt.shape[0], 1, channels))
+
+
+def upsample2(x: jnp.ndarray, lengths: Optional[jnp.ndarray] = None,
+              ratio: int = 2) -> jnp.ndarray:
+    """UpSample1d (reference `resample.py:9-38`): replicate pad, transposed
+    FIR (x ratio gain), crop. (B, T, C) -> (B, ratio*T, C)."""
+    B, T, C = x.shape
+    filt = up_filter(ratio)
+    ks = filt.shape[0]
+    stride = ratio
+    pad = ks // ratio - 1
+    pad_left = pad * stride + (ks - stride) // 2
+    pad_right = pad * stride + (ks - stride + 1) // 2
+    xp = _replicate_pad_valid(x, lengths, pad, pad)
+    kern = _depthwise_kernel(filt, C, x.dtype) * ratio
+    y = jax.lax.conv_general_dilated(
+        xp, kern, window_strides=(1,), padding=[(ks - 1, ks - 1)],
+        lhs_dilation=(stride,), dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=C, preferred_element_type=jnp.float32).astype(x.dtype)
+    return y[:, pad_left: y.shape[1] - pad_right, :]
+
+
+def downsample2(x: jnp.ndarray, lengths: Optional[jnp.ndarray] = None,
+                ratio: int = 2) -> jnp.ndarray:
+    """DownSample1d (reference `resample.py:41-57`): replicate pad + strided FIR."""
+    B, T, C = x.shape
+    filt = down_filter(ratio)
+    ks = filt.shape[0]
+    even = ks % 2 == 0
+    pad_l = ks // 2 - int(even)
+    pad_r = ks // 2
+    xp = _replicate_pad_valid(x, lengths, pad_l, pad_r)
+    kern = _depthwise_kernel(filt, C, x.dtype)
+    return jax.lax.conv_general_dilated(
+        xp, kern, window_strides=(ratio,), padding=[(0, 0)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=C, preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def antialias_activation(x: jnp.ndarray, alpha: jnp.ndarray,
+                         beta: Optional[jnp.ndarray],
+                         lengths: Optional[jnp.ndarray] = None,
+                         logscale: bool = True) -> jnp.ndarray:
+    """Activation1d: upsample x2 -> snake(beta) -> downsample x2.
+
+    This is the XLA reference for the fused Pallas kernel (the TPU equivalent
+    of `anti_alias_activation_cuda.cu`). lengths are at the *input* rate.
+    """
+    up_len = None if lengths is None else lengths * 2
+    y = upsample2(x, lengths)
+    if beta is None:
+        y = snake(y, alpha, logscale)
+    else:
+        y = snake_beta(y, alpha, beta, logscale)
+    return downsample2(y, up_len)

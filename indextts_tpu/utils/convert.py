@@ -426,6 +426,40 @@ def conv1d_as_dense_keep_conv(sd: SD, key: str) -> dict:
     return conv1d(sd, key)
 
 
+# -- BigVGAN-v2 -----------------------------------------------------------------
+
+def convert_bigvgan(sd: SD, h) -> dict:
+    """h: BigVGANConfig. Handles both weight-normed and folded checkpoints."""
+    sd = fold_weight_norm(sd)
+    p: dict = {"conv_pre": conv1d(sd, "conv_pre")}
+    ups = []
+    resblocks = []
+    num_kernels = len(h.resblock_kernel_sizes)
+    for i in range(len(h.upsample_rates)):
+        ups.append(conv_transpose1d(sd, f"ups.{i}.0"))
+        for j, (ks, dils) in enumerate(zip(h.resblock_kernel_sizes,
+                                           h.resblock_dilation_sizes)):
+            n = i * num_kernels + j
+            convs1 = [conv1d(sd, f"resblocks.{n}.convs1.{m}") for m in range(len(dils))]
+            convs2 = [conv1d(sd, f"resblocks.{n}.convs2.{m}") for m in range(len(dils))]
+            acts = []
+            for m in range(2 * len(dils)):
+                a = {"alpha": sd[f"resblocks.{n}.activations.{m}.act.alpha"]}
+                bk = f"resblocks.{n}.activations.{m}.act.beta"
+                if bk in sd:
+                    a["beta"] = sd[bk]
+                acts.append(a)
+            resblocks.append({"convs1": convs1, "convs2": convs2, "acts": acts})
+    p["ups"] = ups
+    p["resblocks"] = resblocks
+    ap = {"alpha": sd["activation_post.act.alpha"]}
+    if "activation_post.act.beta" in sd:
+        ap["beta"] = sd["activation_post.act.beta"]
+    p["activation_post"] = ap
+    p["conv_post"] = conv1d(sd, "conv_post")
+    return p
+
+
 # -- repcodec -------------------------------------------------------------------
 
 def convert_vocos_backbone(sd: SD, num_layers: int, prefix: str) -> dict:
