@@ -426,6 +426,51 @@ def conv1d_as_dense_keep_conv(sd: SD, key: str) -> dict:
     return conv1d(sd, key)
 
 
+# -- w2v-bert -------------------------------------------------------------------
+
+def convert_w2vbert(sd: SD, cfg) -> dict:
+    """HF Wav2Vec2BertModel state_dict -> our encoder params (cfg: W2VBertConfig)."""
+    sd = strip_prefix(sd, "")
+    pfx = "encoder.layers."
+
+    def ffn(key):
+        return {"intermediate_dense": linear(sd, key + ".intermediate_dense"),
+                "output_dense": linear(sd, key + ".output_dense")}
+
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        b = f"{pfx}{i}."
+        layers.append({
+            "ffn1_layer_norm": layer_norm(sd, b + "ffn1_layer_norm"),
+            "ffn1": ffn(b + "ffn1"),
+            "self_attn_layer_norm": layer_norm(sd, b + "self_attn_layer_norm"),
+            "attn": {
+                "linear_q": linear(sd, b + "self_attn.linear_q"),
+                "linear_k": linear(sd, b + "self_attn.linear_k"),
+                "linear_v": linear(sd, b + "self_attn.linear_v"),
+                "linear_out": linear(sd, b + "self_attn.linear_out"),
+                "distance_embedding": embedding(sd, b + "self_attn.distance_embedding"),
+            },
+            "conv": {
+                "layer_norm": layer_norm(sd, b + "conv_module.layer_norm"),
+                "pointwise_conv1": conv1d(sd, b + "conv_module.pointwise_conv1"),
+                "depthwise_conv": conv1d(sd, b + "conv_module.depthwise_conv"),
+                "depthwise_layer_norm": layer_norm(sd, b + "conv_module.depthwise_layer_norm"),
+                "pointwise_conv2": conv1d(sd, b + "conv_module.pointwise_conv2"),
+            },
+            "ffn2_layer_norm": layer_norm(sd, b + "ffn2_layer_norm"),
+            "ffn2": ffn(b + "ffn2"),
+            "final_layer_norm": layer_norm(sd, b + "final_layer_norm"),
+        })
+    return {
+        "feature_projection": {
+            "layer_norm": layer_norm(sd, "feature_projection.layer_norm"),
+            "projection": linear(sd, "feature_projection.projection"),
+        },
+        "layers": layers,
+    }
+
+
 # -- BigVGAN-v2 -----------------------------------------------------------------
 
 def convert_bigvgan(sd: SD, h) -> dict:
