@@ -88,6 +88,20 @@ def install():
     dac.nn = dac_nn
     dac_nn.quantize = dac_q
 
+    # sentencepiece: back the processor with our pure-python implementation
+    try:
+        import sentencepiece  # noqa: F401
+    except ImportError:
+        from indextts_tpu.text.spm import PureSentencePiece
+
+        def _spp(model_file=None, **kw):
+            return PureSentencePiece.from_file(model_file)
+
+        mod("sentencepiece", SentencePieceProcessor=_spp)
+
+    # WeTextProcessing / wetext normalizers are absent; reference front.py
+    # imports them lazily inside load(), nothing needed here.
+
     # tqdm is installed? if not, stub a pass-through
     try:
         import tqdm  # noqa: F401
