@@ -67,6 +67,9 @@ class GPTConfig:
     types: int = 1
     condition_num_latent: int = 32
     condition_type: str = "conformer_perceiver"
+    # dim of the w2v-bert conditioning features fed to the conformers
+    # (hardcoded 1024 in the reference, model_v2.py:353,367)
+    cond_input_dim: int = 1024
     condition_module: ConditionModuleConfig = field(default_factory=ConditionModuleConfig)
     emo_condition_module: ConditionModuleConfig = field(
         default_factory=lambda: ConditionModuleConfig(

@@ -42,7 +42,7 @@ def make_dims(cfg: GPTConfig):
     return {
         "gpt": GPT2Dims(cfg.layers, cfg.model_dim, cfg.heads),
         "cond_conformer": ConformerDims(
-            input_size=1024, output_size=cond.output_size,
+            input_size=cfg.cond_input_dim, output_size=cond.output_size,
             attention_heads=cond.attention_heads, linear_units=cond.linear_units,
             num_blocks=cond.num_blocks, input_layer=cond.input_layer),
         "cond_perceiver": PerceiverDims(
@@ -50,11 +50,11 @@ def make_dims(cfg: GPTConfig):
             num_latents=cfg.condition_num_latent, heads=cond.attention_heads,
             ff_mult=cond.perceiver_mult),
         "emo_conformer": ConformerDims(
-            input_size=1024, output_size=emo.output_size,
+            input_size=cfg.cond_input_dim, output_size=emo.output_size,
             attention_heads=emo.attention_heads, linear_units=emo.linear_units,
             num_blocks=emo.num_blocks, input_layer=emo.input_layer),
         "emo_perceiver": PerceiverDims(
-            dim=1024, dim_context=emo.output_size, num_latents=1,
+            dim=cfg.cond_input_dim, dim_context=emo.output_size, num_latents=1,
             heads=emo.attention_heads, ff_mult=emo.perceiver_mult),
     }
 
@@ -72,7 +72,7 @@ def init_unified_voice(rng: InitRng, cfg: GPTConfig) -> Params:
         "text_pos_embedding": nn.embedding_init(rng, cfg.max_text_positions, D),
         "mel_pos_embedding": nn.embedding_init(rng, cfg.max_mel_positions, D),
         "emo_layer": nn.dense_init(rng, D, D),
-        "emovec_layer": nn.dense_init(rng, 1024, D),
+        "emovec_layer": nn.dense_init(rng, cfg.cond_input_dim, D),
         "speed_emb": {"weight": rng.zeros((2, D))},  # init std 0 (model_v2.py:403)
         "gpt": init_gpt2(rng, dims["gpt"]),
         "final_norm": nn.layer_norm_init(rng, D),

@@ -107,8 +107,7 @@ def init_campplus(rng: InitRng, feat_dim: int = 80, embedding_size: int = 192,
         transit = {"bn": bn_init(rng, channels),
                    "linear": nn.conv1d_init(rng, channels, channels // 2, 1, bias=False)}
         channels //= 2
-        blocks.append({"layers": layers, "kernel_size": ksz, "dilation": dil,
-                       "transit": transit})
+        blocks.append({"layers": layers, "transit": transit})
     p["blocks"] = blocks
     p["out_bn"] = bn_init(rng, channels)
     p["dense"] = {"linear": nn.conv1d_init(rng, channels * 2, embedding_size, 1, bias=False),
@@ -174,8 +173,10 @@ def campplus_forward(p: Params, feats: jnp.ndarray,
     if n_frames is not None:
         n_frames = (n_frames + 2 * 2 - 5) // 2 + 1
 
-    for blk in p["blocks"]:
-        ksz, dil = blk["kernel_size"], blk["dilation"]
+    # static block metadata (kernel, dilation) — kept out of the params pytree
+    # so jit doesn't trace them
+    block_meta = ((3, 1), (3, 2), (3, 2))
+    for blk, (ksz, dil) in zip(p["blocks"], block_meta):
         for lp in blk["layers"]:
             h = jax.nn.relu(bn_apply(lp["bn1"], x))
             h = nn.conv1d(lp["linear1"], h, padding="VALID")

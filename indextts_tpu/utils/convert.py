@@ -412,8 +412,7 @@ def convert_campplus(sd: SD) -> dict:
         transit = {"bn": batch_norm(sd, f"xvector.transit{bi + 1}.nonlinear.batchnorm"),
                    "linear": conv1d(sd, f"xvector.transit{bi + 1}.linear")}
         channels //= 2
-        blocks.append({"layers": layers, "kernel_size": ksz, "dilation": dil,
-                       "transit": transit})
+        blocks.append({"layers": layers, "transit": transit})
     p["blocks"] = blocks
     p["out_bn"] = batch_norm(sd, "xvector.out_nonlinear.batchnorm")
     p["dense"] = {"linear": conv1d(sd, "xvector.dense.linear"),

@@ -1,0 +1,156 @@
+"""End-to-end pipeline smoke test: tiny random models, real orchestration.
+
+Covers the full audio-in -> audio-out path on CPU: prompt feature extraction,
+conditioning, jitted decode, CFM synthesis, vocoding, WAV save, caching, and
+the emotion-vector path.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "tests")
+
+import jax.numpy as jnp
+
+from indextts_tpu.config import (BigVGANConfig, ConditionModuleConfig, DiTConfig,
+                                 EngineConfig, GPTConfig, IndexTTS2Config,
+                                 LengthRegulatorConfig, PreprocessParams,
+                                 S2MelConfig, SemanticCodecConfig, SpectParams,
+                                 StyleEncoderConfig, W2VBertConfig, WaveNetConfig)
+from indextts_tpu.text.spm import build_model_file
+from indextts_tpu.utils.wav_io import read_wav, write_wav
+
+
+def tiny_config():
+    return IndexTTS2Config(
+        gpt=GPTConfig(
+            layers=2, model_dim=64, heads=4, max_text_tokens=64,
+            max_mel_tokens=128, number_text_tokens=60, number_mel_codes=66,
+            start_mel_token=64, stop_mel_token=65,
+            condition_module=ConditionModuleConfig(
+                output_size=32, linear_units=48, attention_heads=2,
+                num_blocks=1, input_layer="conv2d2", perceiver_mult=2),
+            emo_condition_module=ConditionModuleConfig(
+                output_size=32, linear_units=48, attention_heads=2,
+                num_blocks=1, input_layer="conv2d2", perceiver_mult=2),
+            cond_input_dim=48),
+        s2mel=S2MelConfig(
+            DiT=DiTConfig(hidden_dim=32, num_heads=2, depth=1, in_channels=80,
+                          content_dim=32, final_layer_type="wavenet"),
+            wavenet=WaveNetConfig(hidden_dim=32, num_layers=2, kernel_size=5),
+            style_encoder=StyleEncoderConfig(dim=192),
+            length_regulator=LengthRegulatorConfig(
+                channels=32, is_discrete=False, in_channels=48,
+                content_codebook_size=32, sampling_ratios=(1,)),
+            gpt_dim=64, gpt_proj_dims=(32, 48)),
+        semantic_codec=SemanticCodecConfig(
+            codebook_size=32, hidden_size=48, codebook_dim=8, vocos_dim=24,
+            vocos_intermediate_dim=48, vocos_num_layers=1),
+        bigvgan=BigVGANConfig(
+            num_mels=80, upsample_rates=(4, 4, 4, 4), upsample_kernel_sizes=(8, 8, 8, 8),
+            upsample_initial_channel=32, resblock_kernel_sizes=(3,),
+            resblock_dilation_sizes=((1, 3),)),
+        w2v_bert=W2VBertConfig(hidden_size=48, num_hidden_layers=2,
+                               num_attention_heads=4, intermediate_size=64,
+                               output_hidden_layer=1),
+        engine=EngineConfig(text_buckets=(16, 32), mel_len_buckets=(64, 128, 256),
+                            cond_len_buckets=(64, 128), max_decode_tokens=32),
+    )
+
+
+@pytest.fixture(scope="module")
+def model_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tiny_model")
+    # tiny BPE vocab
+    pieces = [("<unk>", 0.0, 2), ("<s>", 0.0, 3), ("</s>", 0.0, 3)]
+    words = ["▁HELLO", "▁WORLD", "▁THE", "▁CAT", "▁."]
+    vocab = []
+    for w in words:
+        for i in range(2, len(w) + 1):
+            vocab.append(w[:i])
+    vocab += ["▁", ".", "▁,", "E", "L", "O"]
+    seen, score = set(), -1.0
+    for w in vocab:
+        if w not in seen:
+            seen.add(w)
+            pieces.append((w, score, 1))
+            score -= 1.0
+    build_model_file(pieces, str(d / "bpe.model"))
+    # prompt wav: 0.8 s of a tone at 16 kHz
+    sr = 16000
+    t = np.arange(int(0.8 * sr)) / sr
+    wav = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    write_wav(str(d / "prompt.wav"), wav, sr)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def tts(model_dir):
+    from indextts_tpu.pipeline.infer_v2 import IndexTTS2
+
+    return IndexTTS2(cfg_path=None, model_dir=model_dir, cfg=tiny_config(),
+                     dtype=jnp.float32)
+
+
+def test_e2e_basic(tts, model_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("out") / "gen.wav")
+    result = tts.infer(
+        spk_audio_prompt=os.path.join(model_dir, "prompt.wav"),
+        text="hello world .", output_path=out, verbose=True,
+        max_mel_tokens=16, num_beams=1)
+    assert result == out
+    assert os.path.exists(out)
+    wav, sr = read_wav(out)
+    assert sr == 22050
+    assert wav.shape[1] > 100
+
+
+def test_e2e_gradio_tuple(tts, model_dir):
+    result = tts.infer(
+        spk_audio_prompt=os.path.join(model_dir, "prompt.wav"),
+        text="the cat .", output_path=None, max_mel_tokens=16, num_beams=1)
+    sr, data = result
+    assert sr == 22050
+    assert data.dtype == np.int16
+    assert data.shape[0] > 100  # (T, C) gradio layout
+
+
+def test_e2e_prompt_cache(tts, model_dir):
+    p = os.path.join(model_dir, "prompt.wav")
+    tts.infer(spk_audio_prompt=p, text="hello .", output_path=None,
+              max_mel_tokens=8, num_beams=1)
+    assert tts.cache_spk_audio_prompt == p
+    first = tts.cache_spk
+    tts.infer(spk_audio_prompt=p, text="world .", output_path=None,
+              max_mel_tokens=8, num_beams=1)
+    assert tts.cache_spk is first  # cache reused, not recomputed
+
+
+def test_e2e_emotion_vector(tts, model_dir):
+    result = tts.infer(
+        spk_audio_prompt=os.path.join(model_dir, "prompt.wav"),
+        text="hello world .", output_path=None,
+        emo_vector=[0.5, 0, 0, 0, 0, 0, 0, 0.3], max_mel_tokens=8, num_beams=1)
+    sr, data = result
+    assert data.shape[0] > 10
+
+
+def test_e2e_emo_text_fallback(tts, model_dir):
+    result = tts.infer(
+        spk_audio_prompt=os.path.join(model_dir, "prompt.wav"),
+        text="hello .", output_path=None, use_emo_text=True,
+        emo_text="I am so happy today!", max_mel_tokens=8, num_beams=1)
+    assert result is not None
+
+
+def test_e2e_streaming(tts, model_dir):
+    gen = tts.infer(
+        spk_audio_prompt=os.path.join(model_dir, "prompt.wav"),
+        text="hello . world .", output_path=None, stream_return=True,
+        max_mel_tokens=8, num_beams=1)
+    chunks = list(gen)
+    assert len(chunks) >= 2  # at least wav + silence
+    assert all(isinstance(c, np.ndarray) for c in chunks)
