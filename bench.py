@@ -1,0 +1,111 @@
+"""End-to-end benchmark: full-size IndexTTS2 pipeline on one chip.
+
+Prints ONE JSON line:
+  {"metric": "e2e_rtf", "value": <RTF>, "unit": "ratio", "vs_baseline": <0.05/RTF>}
+
+RTF = wall-clock / generated-audio-seconds for the complete audio-in ->
+audio-out pipeline (prompt conditioning cached, as in serving). Baseline
+target is RTF <= 0.05 per chip (BASELINE.json), so vs_baseline >= 1 means the
+target is met. Weights are randomly initialized at the shipped architecture
+scale (24x1280 GPT, 13x512 DiT + 8-layer WaveNet head, BigVGAN-v2 1536ch) —
+identical FLOPs/memory profile to converted checkpoints; random weights decode
+to the max token budget, which is the *worst case* for the AR loop.
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+
+def build_fake_assets(d: str):
+    """Minimal bpe.model + prompt wav so the full front-end runs."""
+    from indextts_tpu.text.spm import build_model_file
+    from indextts_tpu.utils.wav_io import write_wav
+
+    pieces = [("<unk>", 0.0, 2), ("<s>", 0.0, 3), ("</s>", 0.0, 3)]
+    words = ["▁THE", "▁QUICK", "▁BROWN", "▁FOX", "▁JUMPS", "▁OVER", "▁LAZY",
+             "▁DOG", "▁AND", "▁RUNS", "▁INTO", "▁FOREST", "▁."]
+    vocab = []
+    for w in words:
+        for i in range(2, len(w) + 1):
+            vocab.append(w[:i])
+    vocab += ["▁", ".", "▁,"]
+    seen, score = set(), -1.0
+    for w in vocab:
+        if w not in seen:
+            seen.add(w)
+            pieces.append((w, score, 1))
+            score -= 1.0
+    build_model_file(pieces, os.path.join(d, "bpe.model"))
+
+    sr = 16000
+    rng = np.random.default_rng(0)
+    t = np.arange(5 * sr) / sr
+    wav = 0.25 * np.sin(2 * np.pi * 170 * t) * (1 + 0.3 * np.sin(2 * np.pi * 3 * t))
+    wav += 0.02 * rng.standard_normal(len(t))
+    write_wav(os.path.join(d, "prompt.wav"), wav.astype(np.float32), sr)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from indextts_tpu.pipeline.infer_v2 import IndexTTS2
+
+    # The remote TPU compile service has a large one-time-per-session warmup;
+    # pay it on a trivial program so real compiles are fast.
+    t0 = time.perf_counter()
+    jax.jit(lambda x: x * 2)(jnp.ones((8, 128))).block_until_ready()
+    print(f"compiler warmup: {time.perf_counter() - t0:.1f}s", file=sys.stderr,
+          flush=True)
+
+    max_mel_tokens = int(os.environ.get("BENCH_MAX_MEL_TOKENS", "500"))
+    text = ("the quick brown fox jumps over the lazy dog and runs into the "
+            "forest . the dog runs over the lazy fox . ")
+
+    d = tempfile.mkdtemp(prefix="indextts_bench_")
+    build_fake_assets(d)
+    prompt = os.path.join(d, "prompt.wav")
+
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    tts = IndexTTS2(cfg_path=None, model_dir=d)
+
+    def run(out):
+        t0 = time.perf_counter()
+        sr, data = tts.infer(spk_audio_prompt=prompt, text=text,
+                             output_path=None, max_mel_tokens=max_mel_tokens,
+                             num_beams=1, verbose=False)
+        dt = time.perf_counter() - t0
+        secs = data.shape[0] / sr
+        return dt, secs
+
+    # warmup: compiles every stage program
+    t0 = time.perf_counter()
+    run("warmup")
+    print(f"warmup (incl. compile): {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+
+    # timed runs
+    best = None
+    for i in range(2):
+        dt, secs = run(f"run{i}")
+        rtf = dt / max(secs, 1e-6)
+        print(f"run{i}: {dt:.2f}s wall for {secs:.2f}s audio -> RTF {rtf:.4f}",
+              file=sys.stderr)
+        best = rtf if best is None else min(best, rtf)
+
+    target = 0.05
+    print(json.dumps({
+        "metric": "e2e_rtf",
+        "value": round(best, 5),
+        "unit": "ratio",
+        "vs_baseline": round(target / best, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
