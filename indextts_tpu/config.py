@@ -329,6 +329,94 @@ class BigVGANConfig:
 
 
 # ---------------------------------------------------------------------------
+# v1 (IndexTTS-1 / 1.5) family
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class BigVGANV1Config:
+    """BigVGAN v1: GPT-latent conditioned, ECAPA speaker embedding
+    (reference `BigVGAN/models.py:131-260`)."""
+
+    gpt_dim: int = 1280
+    num_mels: int = 100
+    upsample_rates: Tuple[int, ...] = (4, 4, 4, 4)
+    upsample_kernel_sizes: Tuple[int, ...] = (8, 8, 8, 8)
+    upsample_initial_channel: int = 1536
+    resblock: str = "1"
+    resblock_kernel_sizes: Tuple[int, ...] = (3, 7, 11)
+    resblock_dilation_sizes: Tuple[Tuple[int, ...], ...] = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    activation: str = "snakebeta"
+    snake_logscale: bool = True
+    feat_upsample: bool = True
+    cond_d_vector_in_each_upsampling_layer: bool = True
+    speaker_embedding_dim: int = 512
+    sampling_rate: int = 24000
+
+    @property
+    def total_upsample(self) -> int:
+        out = 4 if self.feat_upsample else 1
+        for r in self.upsample_rates:
+            out *= r
+        return out
+
+    @classmethod
+    def from_dict(cls, d: Optional[dict]) -> "BigVGANV1Config":
+        if not d:
+            return cls()
+        d = dict(d)
+        for k in ("upsample_rates", "upsample_kernel_sizes", "resblock_kernel_sizes"):
+            if k in d and d[k] is not None:
+                d[k] = tuple(d[k])
+        if d.get("resblock_dilation_sizes") is not None:
+            d["resblock_dilation_sizes"] = tuple(tuple(x) for x in d["resblock_dilation_sizes"])
+        if "cond_d_vector_in_each_upsampling_layer" not in d and "cond_in_each_up_layer" in d:
+            d["cond_d_vector_in_each_upsampling_layer"] = d["cond_in_each_up_layer"]
+        return cls(**_filter_kwargs(cls, d))
+
+
+@dataclass(frozen=True)
+class IndexTTS1Config:
+    """Top-level config for the v1 family (reference `infer.py` + v1 config.yaml)."""
+
+    version: str = "1.5"
+    gpt: GPTConfig = field(default_factory=lambda: GPTConfig(
+        layers=24, model_dim=1280, heads=20, max_text_tokens=600,
+        max_mel_tokens=800, number_text_tokens=12000, cond_input_dim=100,
+        condition_type="conformer_perceiver"))
+    gpt_checkpoint: str = "gpt.pth"
+    bigvgan: BigVGANV1Config = field(default_factory=BigVGANV1Config)
+    bigvgan_checkpoint: str = "bigvgan_generator.pth"
+    dataset: dict = field(default_factory=lambda: {"bpe_model": "bpe.model"})
+    engine: EngineConfig = field(default_factory=lambda: EngineConfig())
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "IndexTTS1Config":
+        kwargs: dict = {}
+        if "version" in d:
+            kwargs["version"] = str(d["version"])
+        if "gpt" in d:
+            g = dict(d["gpt"])
+            g.setdefault("cond_input_dim", 100)
+            kwargs["gpt"] = GPTConfig.from_dict(g)
+        if "bigvgan" in d:
+            kwargs["bigvgan"] = BigVGANV1Config.from_dict(d["bigvgan"])
+        for k in ("gpt_checkpoint", "bigvgan_checkpoint"):
+            if k in d:
+                kwargs[k] = d[k]
+        if "dataset" in d:
+            kwargs["dataset"] = dict(d["dataset"])
+        return cls(**kwargs)
+
+
+def load_config_v1(path: str) -> IndexTTS1Config:
+    import yaml
+
+    with open(path, "r", encoding="utf-8") as f:
+        raw = yaml.safe_load(f)
+    return IndexTTS1Config.from_dict(raw or {})
+
+
+# ---------------------------------------------------------------------------
 # w2v-bert-2.0 encoder — conditioning feature extractor
 # ---------------------------------------------------------------------------
 

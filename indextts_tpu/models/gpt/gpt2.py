@@ -64,7 +64,8 @@ def init_gpt2(rng: InitRng, dims: GPT2Dims) -> Params:
         }
 
     layers = [layer(i) for i in range(L)]
-    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+    import numpy as np
+    stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *layers)
     return {"h": stacked, "ln_f": nn.layer_norm_init(rng, D)}
 
 

@@ -32,22 +32,27 @@ Params = Dict[str, Any]
 # ---------------------------------------------------------------------------
 
 class InitRng:
-    """Stateful numpy RNG wrapper for parameter initialization."""
+    """Stateful numpy RNG wrapper for parameter initialization.
+
+    Returns HOST (numpy) arrays: building a ~1B-param tree must not issue one
+    device transfer per tensor (each is an RPC on remote-attached TPUs).
+    Callers move the finished tree with a single `jax.device_put`.
+    """
 
     def __init__(self, seed: int = 0):
         self.rng = np.random.default_rng(seed)
 
     def normal(self, shape, std=0.02):
-        return jnp.asarray(self.rng.normal(0.0, std, size=shape).astype(np.float32))
+        return self.rng.normal(0.0, std, size=shape).astype(np.float32)
 
     def uniform(self, shape, a, b):
-        return jnp.asarray(self.rng.uniform(a, b, size=shape).astype(np.float32))
+        return self.rng.uniform(a, b, size=shape).astype(np.float32)
 
     def zeros(self, shape):
-        return jnp.zeros(shape, dtype=jnp.float32)
+        return np.zeros(shape, dtype=np.float32)
 
     def ones(self, shape):
-        return jnp.ones(shape, dtype=jnp.float32)
+        return np.ones(shape, dtype=np.float32)
 
     def kaiming_conv1d(self, width, in_ch, out_ch, groups=1):
         # torch Conv1d default: kaiming_uniform(a=sqrt(5)) == U(-b, b),

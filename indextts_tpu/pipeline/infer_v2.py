@@ -220,11 +220,15 @@ class IndexTTS2:
         self.emo_matrix = [jnp.asarray(m) for m in np.split(np.asarray(emo_mat), splits)]
         self.spk_matrix = [jnp.asarray(m) for m in np.split(np.asarray(spk_mat), splits)]
 
-        # compute dtype cast (norm params are cast to fp32 inside the ops)
+        # compute dtype cast (norm params are cast to fp32 inside the ops),
+        # then ONE batched host->device transfer for the whole tree (a
+        # per-tensor transfer is an RPC each on remote-attached TPUs)
         for name in ("gpt_params", "s2mel_params", "codec_params",
                      "bigvgan_params", "w2v_params"):
-            setattr(self, name, nn.cast_tree(getattr(self, name), self.dtype))
-        self.campplus_params = nn.cast_tree(self.campplus_params, jnp.float32)
+            tree = nn.cast_tree(getattr(self, name), self.dtype)
+            setattr(self, name, jax.device_put(tree))
+        self.campplus_params = jax.device_put(
+            nn.cast_tree(self.campplus_params, jnp.float32))
 
     def _load_frontend(self):
         bpe_path = os.path.join(self.model_dir, self.cfg.dataset.get("bpe_model", "bpe.model"))
