@@ -1,0 +1,155 @@
+"""Fused anti-aliased snake activation — Pallas TPU kernel.
+
+The TPU equivalent of the reference's marquee CUDA kernel
+(`alias_free_activation/cuda/anti_alias_activation_cuda.cu`: one fused pass of
+replication-pad -> x2 FIR upsample -> snake-beta -> FIR lowpass -> x2
+downsample). The XLA composite (`ops/snake.py`) materializes the 2x-rate
+intermediate in HBM twice; this kernel keeps everything in VMEM.
+
+Math (calibrated against ops/snake.antialias_activation, see
+tests/test_pallas_antialias.py): with x_rep the replicate-extended input and
+f/g the kaiser-sinc up/down filters (length 12),
+
+    phase0[i] = 2 * sum_j f[2j]   * x_rep[i-3+j]      (up output at even idx 2i)
+    phase1[i] = 2 * sum_j f[2j+1] * x_rep[i-2+j]      (odd idx 2i+1)
+    s* = snake_beta(phase*)
+    y[t] = sum_{j=-2..3} g[2j+5]*s0[t+j] + sum_{m=-3..2} g[2m+6]*s1[t+m]
+
+Exact in the interior. At sequence edges the reference replicates the *2x-rate*
+signal (up[0] / up[2N-1]); the kernel applies that correction explicitly for
+the static left edge and the dynamic valid-length right edge.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from indextts_tpu.ops.snake import down_filter, up_filter
+
+_E = 8        # replicate extension on each side of x
+_HL, _HR = 6, 7  # input halo needed left/right of an output tile
+_M = 3        # phase halo
+
+
+def _kernel(len_ref, xe_ref, alpha_ref, beta_ref, out_ref, scratch, sem,
+            *, t_tile: int, logscale: bool, f: np.ndarray, g: np.ndarray):
+    b = pl.program_id(0)
+    ti = pl.program_id(1)
+    t0 = ti * t_tile
+    # DMA the input tile + halo from HBM: xe[b, t0+E-HL : ..., c-block]
+    copy = pltpu.make_async_copy(
+        xe_ref.at[b, pl.ds(t0 + _E - _HL, t_tile + _HL + _HR), :],
+        scratch, sem)
+    copy.start()
+
+    a = alpha_ref[0, :].astype(jnp.float32)
+    bb = beta_ref[0, :].astype(jnp.float32)
+    if logscale:
+        a = jnp.exp(a)
+        bb = jnp.exp(bb)
+
+    copy.wait()
+    xt = scratch[:, :].astype(jnp.float32)  # (TT+13, CT)
+
+    n_phase = t_tile + 2 * _M
+    # phase0[i] needs x_rep[i-3+j] -> scratch offset (i - t0) + _M + j  (since
+    # scratch[0] == x_rep[t0-6]; i-3+j - (t0-6) = (i-t0) + 3 + j; phase index
+    # base i = t0-M -> scratch row j)   [calibrated]
+    p0 = jnp.zeros((n_phase, xt.shape[1]), jnp.float32)
+    p1 = jnp.zeros((n_phase, xt.shape[1]), jnp.float32)
+    for j in range(6):
+        p0 = p0 + (2.0 * float(f[2 * j])) * xt[j: j + n_phase, :]
+        p1 = p1 + (2.0 * float(f[2 * j + 1])) * xt[j + 1: j + 1 + n_phase, :]
+
+    def snake(u):
+        s = jnp.sin(u * a)
+        return u + s * s / (bb + 1e-9)
+
+    s0 = snake(p0)
+    s1 = snake(p1)
+
+    # --- edge corrections: the reference pads the *2x-rate* signal by
+    # replication, so up indices < 0 all equal up[0] == phase0[global 0] and
+    # indices > 2*len-1 equal up[2len-1] == phase1[len-1]. Masked selects are
+    # no-ops away from the edges.
+    phase_gidx = t0 - _M + jax.lax.broadcasted_iota(jnp.int32, (n_phase, 1), 0)
+    left_val0 = s0[_M: _M + 1, :]
+    s0 = jnp.where(phase_gidx < 0, left_val0, s0)
+    s1 = jnp.where(phase_gidx < 0, left_val0, s1)
+    length = len_ref[b]
+    r_row = jnp.clip(length - 1 - (t0 - _M), 0, n_phase - 1)
+    # dynamic row extraction as a masked reduction (dynamic_slice of values is
+    # not lowerable on TPU Pallas)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (n_phase, 1), 0)
+    right_val1 = jnp.sum(jnp.where(row_iota == r_row, s1, 0.0), axis=0,
+                         keepdims=True)
+    s0 = jnp.where(phase_gidx > length - 1, right_val1, s0)
+    s1 = jnp.where(phase_gidx > length - 1, right_val1, s1)
+
+    y = jnp.zeros((t_tile, xt.shape[1]), jnp.float32)
+    for j in range(-2, 4):
+        y = y + float(g[2 * j + 5]) * s0[_M + j: _M + j + t_tile, :]
+    for m in range(-3, 3):
+        y = y + float(g[2 * m + 6]) * s1[_M + m: _M + m + t_tile, :]
+    out_ref[0, :, :] = y.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("logscale", "t_tile", "c_tile", "interpret"))
+def fused_antialias_activation(x: jnp.ndarray, alpha: jnp.ndarray,
+                               beta: jnp.ndarray,
+                               lengths: Optional[jnp.ndarray] = None,
+                               logscale: bool = True, t_tile: int = 512,
+                               c_tile: int = 128,
+                               interpret: bool = False) -> jnp.ndarray:
+    """Drop-in fused replacement for ops.snake.antialias_activation (snakebeta).
+
+    x: (B, T, C) with T % t_tile == 0 and C % c_tile == 0 (BigVGAN buckets
+    satisfy this); lengths: (B,) valid frames (defaults to T).
+    """
+    B, T, C = x.shape
+    assert T % t_tile == 0 and C % c_tile == 0, (T, C)
+    f = up_filter(2)
+    g = down_filter(2)
+    if lengths is None:
+        lengths = jnp.full((B,), T, jnp.int32)
+
+    # replicate-extend around the *valid* region (clamped gather)
+    idx = jnp.arange(-_E, T + _E)[None, :]
+    idx = jnp.clip(idx, 0, jnp.maximum(lengths[:, None] - 1, 0))
+    xe = jnp.take_along_axis(x, idx[:, :, None], axis=1)
+
+    grid = (B, T // t_tile, C // c_tile)
+    kernel = functools.partial(_kernel, t_tile=t_tile, logscale=logscale,
+                               f=f, g=g)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # lengths
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # xe stays in HBM
+                pl.BlockSpec((1, c_tile), lambda b, t, c, *_: (0, c),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, c_tile), lambda b, t, c, *_: (0, c),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, t_tile, c_tile),
+                                   lambda b, t, c, *_: (b, t, c),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((t_tile + _HL + _HR, c_tile), x.dtype),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, T, C), x.dtype),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), xe, alpha.reshape(1, C), beta.reshape(1, C))
+    return out

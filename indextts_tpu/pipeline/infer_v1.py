@@ -24,6 +24,7 @@ import numpy as np
 
 from indextts_tpu import nn
 from indextts_tpu.config import IndexTTS1Config, load_config_v1
+from indextts_tpu.engine.beam import generate_beam
 from indextts_tpu.engine.decode import SamplingConfig, generate
 from indextts_tpu.models.gpt import unified_voice as uv
 from indextts_tpu.models.gpt import unified_voice_v1 as uv1
@@ -261,10 +262,27 @@ class IndexTTS:
         cond_latents, embeds, mask = self._jit_prefix(
             self.gpt_params, cond_mel, cond_len, jnp.asarray(text_ids),
             jnp.asarray(tlens), prefix_len)
-        codes, code_lens = generate(
-            self.gpt_params, cfg.gpt, self.gpt_dims, embeds, mask,
-            self._next_rng(), max_new_tokens=max_mel_tokens, sampling=sampling,
-            dtype=self.dtype)
+        if sampling.num_beams > 1 and B == 1:
+            codes, code_lens = generate_beam(
+                self.gpt_params, cfg.gpt, self.gpt_dims, embeds, mask,
+                self._next_rng(), max_new_tokens=max_mel_tokens,
+                sampling=sampling, dtype=self.dtype)
+        elif sampling.num_beams > 1:
+            # batched beams: run the beam engine per row (the bucketed batch
+            # amortizes the rest of the pipeline; beam decode stays exact)
+            outs = [generate_beam(self.gpt_params, cfg.gpt, self.gpt_dims,
+                                  embeds[b: b + 1], mask[b: b + 1],
+                                  self._next_rng(),
+                                  max_new_tokens=max_mel_tokens,
+                                  sampling=sampling, dtype=self.dtype)
+                    for b in range(B)]
+            codes = jnp.concatenate([o[0] for o in outs], axis=0)
+            code_lens = jnp.concatenate([o[1] for o in outs], axis=0)
+        else:
+            codes, code_lens = generate(
+                self.gpt_params, cfg.gpt, self.gpt_dims, embeds, mask,
+                self._next_rng(), max_new_tokens=max_mel_tokens,
+                sampling=sampling, dtype=self.dtype)
         codes_np = np.asarray(codes)
         lens_np = np.maximum(np.asarray(code_lens), 1)
         codes_np, lens_np = remove_long_silence(codes_np, lens_np,

@@ -40,6 +40,7 @@ import numpy as np
 
 from indextts_tpu import nn
 from indextts_tpu.config import IndexTTS2Config, load_config
+from indextts_tpu.engine.beam import generate_beam
 from indextts_tpu.engine.decode import SamplingConfig, generate
 from indextts_tpu.models.codec.repcodec import (init_repcodec, repcodec_quantize,
                                                 repcodec_vq2emb)
@@ -627,8 +628,10 @@ class IndexTTS2:
                     self.gpt_params, self.cfg.gpt, conds, jnp.asarray(text_ids),
                     jnp.asarray([tlen]), prefix_len, dtype=self.dtype)
 
-            # [G] decode
-            codes, code_lens = generate(
+            # [G] decode (beam search when num_beams > 1, the reference
+            # default; plain sampling otherwise)
+            decode_fn = generate_beam if sampling.num_beams > 1 else generate
+            codes, code_lens = decode_fn(
                 self.gpt_params, self.cfg.gpt, self.gpt_dims, prefix_embeds,
                 prefix_mask, self._next_rng(), max_new_tokens=max_mel_tokens,
                 sampling=sampling, dtype=self.dtype)

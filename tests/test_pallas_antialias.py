@@ -1,0 +1,43 @@
+"""Fused Pallas anti-alias activation vs the XLA composite (interpret mode)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from indextts_tpu.ops.pallas.antialias import fused_antialias_activation
+from indextts_tpu.ops.snake import antialias_activation
+
+
+def test_fused_matches_composite(rng):
+    B, T, C = 2, 512, 128
+    x = jnp.asarray(rng.standard_normal((B, T, C)).astype(np.float32))
+    alpha = jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.3)
+    beta = jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.3)
+
+    ref = np.asarray(antialias_activation(x, alpha, beta))
+    out = np.asarray(fused_antialias_activation(x, alpha, beta,
+                                                t_tile=256, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_fused_matches_composite_masked(rng):
+    """Valid-length rows must match the composite (incl. the dynamic right
+    edge's 2x-rate replication semantics)."""
+    B, T, C = 2, 256, 128
+    lens = np.asarray([200, 131], np.int32)
+    x = rng.standard_normal((B, T, C)).astype(np.float32)
+    for b in range(B):
+        x[b, lens[b]:] = 0.0
+    xj = jnp.asarray(x)
+    alpha = jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.3)
+    beta = jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.3)
+
+    ref = np.asarray(antialias_activation(xj, alpha, beta,
+                                          lengths=jnp.asarray(lens)))
+    out = np.asarray(fused_antialias_activation(xj, alpha, beta,
+                                                lengths=jnp.asarray(lens),
+                                                t_tile=128, interpret=True))
+    for b in range(B):
+        np.testing.assert_allclose(out[b, : lens[b]], ref[b, : lens[b]],
+                                   atol=2e-5, rtol=1e-4)
