@@ -69,6 +69,23 @@ def init_gpt2(rng: InitRng, dims: GPT2Dims) -> Params:
     return {"h": stacked, "ln_f": nn.layer_norm_init(rng, D)}
 
 
+def quantize_gpt2_int8(params: Params) -> Params:
+    """Weight-only int8 for the four big per-layer matmuls (decode is
+    HBM-bandwidth bound on weight reads; int8 halves that vs bf16)."""
+    import copy
+
+    p = dict(params)
+    h = dict(p["h"])
+    h["attn"] = {"c_attn": nn.quantize_dense_int8(p["h"]["attn"]["c_attn"]),
+                 "c_proj": nn.quantize_dense_int8(p["h"]["attn"]["c_proj"])}
+    h["mlp"] = {"c_fc": nn.quantize_dense_int8(p["h"]["mlp"]["c_fc"]),
+                "c_proj": nn.quantize_dense_int8(p["h"]["mlp"]["c_proj"])}
+    h["ln_1"] = p["h"]["ln_1"]
+    h["ln_2"] = p["h"]["ln_2"]
+    p["h"] = h
+    return p
+
+
 def init_kv_cache(dims: GPT2Dims, batch: int, max_len: int, dtype=jnp.bfloat16) -> Dict:
     shape = (dims.layers, batch, max_len, dims.heads, dims.head_dim)
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}

@@ -92,10 +92,30 @@ def dense_init(rng: InitRng, in_dim: int, out_dim: int, bias: bool = True,
 
 def dense(p: Params, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
     dtype = dtype or x.dtype
-    y = jnp.dot(x, p["kernel"].astype(dtype), preferred_element_type=jnp.float32)
+    if "q" in p:
+        # weight-only int8: HBM holds int8 (2x less traffic than bf16);
+        # dequant fuses into the matmul, per-out-channel scale applies after
+        y = jnp.dot(x, p["q"].astype(dtype), preferred_element_type=jnp.float32)
+        y = y * p["scale"].astype(jnp.float32)
+    else:
+        y = jnp.dot(x, p["kernel"].astype(dtype), preferred_element_type=jnp.float32)
     if "bias" in p:
         y = y + p["bias"].astype(jnp.float32)
     return y.astype(dtype)
+
+
+def quantize_dense_int8(p: Params) -> Params:
+    """Per-output-channel symmetric int8 quantization of a dense kernel."""
+    if "kernel" not in p:
+        return p
+    w = np.asarray(p["kernel"], np.float32)
+    # per-output-channel over the contraction axis (supports stacked (L, in, out))
+    scale = np.maximum(np.max(np.abs(w), axis=-2, keepdims=True), 1e-8) / 127.0
+    q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+    out = {"q": q, "scale": scale.astype(np.float32)}
+    if "bias" in p:
+        out["bias"] = p["bias"]
+    return out
 
 
 def embedding_init(rng: InitRng, num: int, dim: int, std: float = 0.02) -> Params:

@@ -18,6 +18,14 @@ f/g the kaiser-sinc up/down filters (length 12),
 Exact in the interior. At sequence edges the reference replicates the *2x-rate*
 signal (up[0] / up[2N-1]); the kernel applies that correction explicitly for
 the static left edge and the dynamic valid-length right edge.
+
+Measured on v5e (T=2048, C=768, bf16): ~4.5 ms vs ~3.2 ms for the XLA
+composite — the op is VPU-transcendental-bound (one sin per 2x-rate sample),
+not HBM-bound, and XLA already fuses the elementwise chain into the FIR convs,
+so unlike the reference's CUDA-vs-eager-torch situation there is no
+materialization to win back. The XLA path stays the default; the kernel is
+kept as the native-equivalent implementation and a base for further VPU
+scheduling work (phase-parallel sin, bf16 transcendentals).
 """
 
 from __future__ import annotations
@@ -33,8 +41,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from indextts_tpu.ops.snake import down_filter, up_filter
 
-_E = 8        # replicate extension on each side of x
-_HL, _HR = 6, 7  # input halo needed left/right of an output tile
+_E = 14       # replicate extension on each side of x
+_HL = 6       # input halo needed left of an output tile (right halo is 7)
+_WIN_PAD = 16  # DMA window extra rows: halo 13 rounded up to sublane tiling (8)
 _M = 3        # phase halo
 
 
@@ -42,10 +51,15 @@ def _kernel(len_ref, xe_ref, alpha_ref, beta_ref, out_ref, scratch, sem,
             *, t_tile: int, logscale: bool, f: np.ndarray, g: np.ndarray):
     b = pl.program_id(0)
     ti = pl.program_id(1)
+    ci = pl.program_id(2)
     t0 = ti * t_tile
-    # DMA the input tile + halo from HBM: xe[b, t0+E-HL : ..., c-block]
+    c_tile = scratch.shape[1]
+    # DMA the input tile + halo from HBM. Mosaic requires 8-aligned slice
+    # starts/extents on the sublane axis: _E - _HL == 8 keeps the start at
+    # t0 + 8 (t_tile % 8 == 0) and the window is t_tile + 16 rows (3 unused).
     copy = pltpu.make_async_copy(
-        xe_ref.at[b, pl.ds(t0 + _E - _HL, t_tile + _HL + _HR), :],
+        xe_ref.at[b, pl.ds(t0 + _E - _HL, t_tile + _WIN_PAD),
+                  pl.ds(ci * c_tile, c_tile)],
         scratch, sem)
     copy.start()
 
@@ -145,7 +159,7 @@ def fused_antialias_activation(x: jnp.ndarray, alpha: jnp.ndarray,
                                    lambda b, t, c, *_: (b, t, c),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((t_tile + _HL + _HR, c_tile), x.dtype),
+                pltpu.VMEM((t_tile + _WIN_PAD, c_tile), x.dtype),
                 pltpu.SemaphoreType.DMA,
             ],
         ),

@@ -85,6 +85,7 @@ class IndexTTS2:
                  use_torch_compile: bool = False, aux_paths: Optional[dict] = None,
                  seed: int = 0, dtype=jnp.bfloat16,
                  allow_random_init: bool = True,
+                 quantization: Optional[str] = None,
                  cfg: Optional[IndexTTS2Config] = None):
         """Accepts the reference's kwargs; CUDA-era knobs (use_cuda_kernel,
         use_deepspeed, use_accel, use_torch_compile) are accepted and ignored —
@@ -98,6 +99,7 @@ class IndexTTS2:
         else:
             self.cfg = IndexTTS2Config()
         self.dtype = jnp.float16 if use_fp16 else dtype
+        self.quantization = quantization
         self.stop_mel_token = self.cfg.gpt.stop_mel_token
         self.model_version = self.cfg.version
 
@@ -227,6 +229,14 @@ class IndexTTS2:
         for name in ("gpt_params", "s2mel_params", "codec_params",
                      "bigvgan_params", "w2v_params"):
             tree = nn.cast_tree(getattr(self, name), self.dtype)
+            if name == "gpt_params" and self.quantization == "int8":
+                # weight-only int8 for the decode hot path (HBM-bound);
+                # scales stay fp32
+                from indextts_tpu.models.gpt.gpt2 import quantize_gpt2_int8
+
+                tree = dict(tree)
+                tree["gpt"] = quantize_gpt2_int8(tree["gpt"])
+                print(">> GPT decoder weights quantized to int8 (weight-only)")
             setattr(self, name, jax.device_put(tree))
         self.campplus_params = jax.device_put(
             nn.cast_tree(self.campplus_params, jnp.float32))

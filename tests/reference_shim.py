@@ -14,8 +14,10 @@ REFERENCE_ROOT = "/root/reference"
 
 
 def install():
+    # append (not insert) so top-level names shared with our repo (webui.py,
+    # bench.py, ...) resolve to ours first
     if REFERENCE_ROOT not in sys.path:
-        sys.path.insert(0, REFERENCE_ROOT)
+        sys.path.append(REFERENCE_ROOT)
 
     import importlib.machinery
 
