@@ -609,6 +609,36 @@ def convert_bigvgan_v1(sd: SD, h) -> dict:
     return p
 
 
+# -- DVAE -------------------------------------------------------------------------
+
+def convert_dvae(sd: SD, num_layers: int = 2, num_resnet_blocks: int = 3) -> dict:
+    """DiscreteVAE (reference `vqvae/xtts_dvae.py:201-303`), 1-D variant.
+
+    Encoder Sequential layout: [Sequential(conv, act)] * num_layers,
+    [ResBlock] * n_res, final 1x1 conv. Decoder: 1x1 conv (codebook->inner),
+    [ResBlock] * n_res, [Sequential(convT, act)] * num_layers, final 1x1 conv.
+    """
+    n_enc = num_layers
+    p: dict = {
+        "enc_convs": [conv1d(sd, f"encoder.{i}.0") for i in range(n_enc)],
+        "enc_res": [{"c1": conv1d(sd, f"encoder.{n_enc + i}.net.0"),
+                     "c2": conv1d(sd, f"encoder.{n_enc + i}.net.2"),
+                     "c3": conv1d(sd, f"encoder.{n_enc + i}.net.4")}
+                    for i in range(num_resnet_blocks)],
+        "enc_out": conv1d(sd, f"encoder.{n_enc + num_resnet_blocks}"),
+        "dec_in": conv1d(sd, "decoder.0"),
+        "dec_res": [{"c1": conv1d(sd, f"decoder.{1 + i}.net.0"),
+                     "c2": conv1d(sd, f"decoder.{1 + i}.net.2"),
+                     "c3": conv1d(sd, f"decoder.{1 + i}.net.4")}
+                    for i in range(num_resnet_blocks)],
+        "dec_convs": [conv_transpose1d(sd, f"decoder.{1 + num_resnet_blocks + i}.0")
+                      for i in range(num_layers)],
+        "dec_out": conv1d(sd, f"decoder.{1 + num_resnet_blocks + num_layers}"),
+        "codebook": {"embed": sd["codebook.embed"]},
+    }
+    return p
+
+
 # -- repcodec -------------------------------------------------------------------
 
 def convert_vocos_backbone(sd: SD, num_layers: int, prefix: str) -> dict:
