@@ -86,13 +86,30 @@ def sample_logits(rng: jax.Array, logits: jnp.ndarray,
                   repetition_penalty: float = 10.0,
                   do_sample: bool = True,
                   typical_mass: Optional[float] = None) -> jnp.ndarray:
-    """Full HF-ordered sampling chain; logits (B, V) -> token ids (B,)."""
+    """Full HF-ordered sampling chain; logits (B, V) -> token ids (B,).
+
+    Fast path: with top_k in (0, 256] and no typical warper, top-p runs on the
+    k top-k survivors instead of sorting the whole vocab — exactly equivalent
+    to HF's chain (after top-k masking only k finite logits remain, so the
+    masked softmax/cumsum only involves them) and removes the O(V log V)
+    per-step sort from the decode loop.
+    """
     lf = logits.astype(jnp.float32)
     if token_counts is not None:
         lf = apply_repetition_penalty(lf, token_counts, repetition_penalty)
     if not do_sample:
         return jnp.argmax(lf, axis=-1).astype(jnp.int32)
     lf = apply_temperature(lf, temperature)
+
+    if typical_mass is None and 0 < top_k <= 256:
+        vals, idx = jax.lax.top_k(lf, top_k)      # (B, K) descending
+        if top_p < 1.0:
+            probs = jax.nn.softmax(vals, axis=-1)
+            cum_excl = jnp.cumsum(probs, axis=-1) - probs
+            vals = jnp.where(cum_excl < top_p, vals, NEG_INF)
+        choice = jax.random.categorical(rng, vals, axis=-1)
+        return jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0].astype(jnp.int32)
+
     lf = apply_top_k(lf, top_k)
     if typical_mass is not None:
         lf = apply_typical(lf, typical_mass)

@@ -356,7 +356,9 @@ class IndexTTS:
             top_p=float(kw.pop("top_p", 0.8)),
             repetition_penalty=float(kw.pop("repetition_penalty", 10.0)),
             num_beams=int(kw.pop("num_beams", 3)),
-            length_penalty=float(kw.pop("length_penalty", 0.0)))
+            length_penalty=float(kw.pop("length_penalty", 0.0)),
+            typical_sampling=bool(kw.pop("typical_sampling", False)),
+            typical_mass=float(kw.pop("typical_mass", 0.9)))
         return sampling, int(kw.pop("max_mel_tokens", 600))
 
     def _finalize(self, wavs, output_path, start_time):

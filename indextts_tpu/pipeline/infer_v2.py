@@ -597,11 +597,15 @@ class IndexTTS2:
         num_beams = generation_kwargs.pop("num_beams", 3)
         repetition_penalty = generation_kwargs.pop("repetition_penalty", 10.0)
         max_mel_tokens = generation_kwargs.pop("max_mel_tokens", 1500)
+        typical_sampling = generation_kwargs.pop("typical_sampling", False)
+        typical_mass = generation_kwargs.pop("typical_mass", 0.9)
         sampling = SamplingConfig(
             do_sample=bool(do_sample), temperature=float(temperature),
             top_k=int(top_k), top_p=float(top_p),
             repetition_penalty=float(repetition_penalty),
-            num_beams=int(num_beams), length_penalty=float(length_penalty))
+            num_beams=int(num_beams), length_penalty=float(length_penalty),
+            typical_sampling=bool(typical_sampling),
+            typical_mass=float(typical_mass))
 
         wavs = []
         gpt_gen_time = gpt_forward_time = s2mel_time = bigvgan_time = 0.0

@@ -68,3 +68,33 @@ def test_typical_matches_reference_impl(logits):
     indices_to_remove = sorted_indices_to_remove.scatter(1, sorted_indices, sorted_indices_to_remove)
     expect = t.masked_fill(indices_to_remove, -float("inf")).numpy()
     _masked_equal(apply_typical(logits, 0.9), expect)
+
+
+def test_fast_topk_topp_path_equivalent(rng):
+    """The top-k→top-p fast path must define the same support and probabilities
+    as the full-vocab chain."""
+    import jax
+    import jax.numpy as jnp
+
+    from indextts_tpu.ops.sampling import (apply_temperature, apply_top_k,
+                                           apply_top_p)
+
+    logits = rng.standard_normal((4, 200)).astype(np.float32) * 4.0
+    temperature, top_k, top_p = 0.8, 30, 0.8
+
+    # slow path support + probs
+    lf = apply_temperature(jnp.asarray(logits), temperature)
+    slow = apply_top_p(apply_top_k(lf, top_k), top_p)
+    slow_probs = np.asarray(jax.nn.softmax(slow, axis=-1))
+
+    # fast path (mirrors sample_logits' internals)
+    vals, idx = jax.lax.top_k(lf, top_k)
+    probs = jax.nn.softmax(vals, axis=-1)
+    cum_excl = jnp.cumsum(probs, axis=-1) - probs
+    vals = jnp.where(cum_excl < top_p, vals, -1e10)
+    fast_sub = np.asarray(jax.nn.softmax(vals, axis=-1))
+    fast_probs = np.zeros_like(slow_probs)
+    idx = np.asarray(idx)
+    for b in range(4):
+        fast_probs[b, idx[b]] = fast_sub[b]
+    np.testing.assert_allclose(fast_probs, slow_probs, atol=1e-5)
