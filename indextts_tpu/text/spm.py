@@ -89,7 +89,12 @@ def parse_sentencepiece_model(path: str) -> List[Tuple[str, float, int]]:
 # ---------------------------------------------------------------------------
 
 class PureSentencePiece:
-    """Greedy score-based BPE over a parsed sentencepiece vocabulary."""
+    """Greedy score-based BPE over a parsed sentencepiece vocabulary.
+
+    Uses the native C merge loop (`indextts_tpu/native/bpe_merge.c`) when the
+    toolchain is available; the Python `_encode_word` below is the reference
+    fallback and defines the exact semantics.
+    """
 
     def __init__(self, pieces: List[Tuple[str, float, int]]):
         self.pieces = pieces
@@ -97,6 +102,19 @@ class PureSentencePiece:
         self.scores = {p: s for (p, s, _) in pieces}
         self._unk_id = next((i for i, (_, _, t) in enumerate(pieces) if t == 2), 0)
         self._byte_ids = {p: i for i, (p, _, t) in enumerate(pieces) if t == 6}
+        self._native = None
+        self._native_handle = None
+        try:
+            from indextts_tpu.native import get_bpe_native
+
+            mod = get_bpe_native()
+            if mod is not None:
+                names = [p for (p, _, _) in pieces]
+                scores = [float(s) for (_, s, _) in pieces]
+                self._native_handle = mod.bpe_new(names, scores)
+                self._native = mod
+        except Exception:
+            self._native = None
 
     @classmethod
     def from_file(cls, path: str) -> "PureSentencePiece":
@@ -119,6 +137,8 @@ class PureSentencePiece:
 
     def _encode_word(self, word: str) -> List[str]:
         """BPE-merge a single pre-tokenized word (already ▁-prefixed)."""
+        if self._native is not None:
+            return self._native.bpe_encode_word(self._native_handle, word)
         symbols = list(word)
         if not symbols:
             return []

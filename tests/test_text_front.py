@@ -123,3 +123,26 @@ def test_normalizer_glossary():
     n.load_glossary({"C++": {"en": "C plus plus", "zh": "C 加加"}})
     out = n.normalize("I love C++ a lot")
     assert "C plus plus" in out
+
+
+def test_native_bpe_matches_python(tmp_path):
+    """The C merge loop must match the pure-python reference encoder."""
+    from indextts_tpu.native import get_bpe_native
+    from indextts_tpu.text.spm import PureSentencePiece
+
+    path = _tiny_spm(tmp_path)
+    sp = PureSentencePiece.from_file(path)
+    if sp._native is None:
+        pytest.skip("native BPE toolchain unavailable")
+
+    import random
+
+    random.seed(0)
+    words = ["▁HELLO", "▁WORLD", "▁THE", "▁你", "▁好", "▁HELLOWORLD", "▁Z",
+             "▁HELLLO", "▁THETHE"]
+    for w in words:
+        native = sp._encode_word(w)
+        sp_py = PureSentencePiece(sp.pieces)
+        sp_py._native = None
+        py = sp_py._encode_word(w)
+        assert native == py, (w, native, py)
