@@ -64,6 +64,7 @@ def main():
           flush=True)
 
     max_mel_tokens = int(os.environ.get("BENCH_MAX_MEL_TOKENS", "500"))
+    quant = os.environ.get("BENCH_QUANT") or None
     text = ("the quick brown fox jumps over the lazy dog and runs into the "
             "forest . the dog runs over the lazy fox . ")
 
@@ -71,8 +72,8 @@ def main():
     build_fake_assets(d)
     prompt = os.path.join(d, "prompt.wav")
 
-    print(f"devices: {jax.devices()}", file=sys.stderr)
-    tts = IndexTTS2(cfg_path=None, model_dir=d)
+    print(f"devices: {jax.devices()} quant={quant}", file=sys.stderr)
+    tts = IndexTTS2(cfg_path=None, model_dir=d, quantization=quant)
 
     def run(out):
         t0 = time.perf_counter()
@@ -97,6 +98,23 @@ def main():
         print(f"run{i}: {dt:.2f}s wall for {secs:.2f}s audio -> RTF {rtf:.4f}",
               file=sys.stderr)
         best = rtf if best is None else min(best, rtf)
+
+    # first-audio latency: short first segment via quick_streaming_tokens
+    # (first pass compiles the short-decode program; report the second)
+    try:
+        for attempt in range(2):
+            t0 = time.perf_counter()
+            gen = tts.infer(spk_audio_prompt=prompt, text=text,
+                            output_path=None, max_mel_tokens=60, num_beams=1,
+                            stream_return=True, more_segment_before=8)
+            next(gen)
+            first_audio = time.perf_counter() - t0
+            for _ in gen:
+                pass
+        print(f"first-audio latency (short first segment, post-warmup): "
+              f"{first_audio * 1000:.0f} ms", file=sys.stderr)
+    except Exception as e:
+        print(f"first-audio measurement failed: {e!r}", file=sys.stderr)
 
     target = 0.05
     print(json.dumps({

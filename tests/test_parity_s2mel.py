@@ -226,3 +226,20 @@ def test_repcodec_parity():
         emb_ref = ref.quantizer.vq2emb(torch.tensor(codes).unsqueeze(1)).numpy()
     emb = np.asarray(repcodec_vq2emb(params, jnp.asarray(codes)))
     np.testing.assert_allclose(emb, emb_ref.transpose(0, 2, 1), atol=2e-4, rtol=1e-3)
+
+
+def test_mel22k_matches_reference_torch(rng):
+    """Our jax mel front-end vs the reference torch mel_spectrogram
+    (`s2mel/modules/audio.py:45-82`) — validates torch.stft framing/pad
+    semantics end to end (the mel filterbank itself is shim-shared)."""
+    from indextts.s2mel.modules.audio import mel_spectrogram as ref_mel
+
+    from indextts_tpu.ops.mel import mel_spectrogram as our_mel
+
+    y = (rng.standard_normal(22050) * 0.4).astype(np.float32)
+    ref = ref_mel(torch.tensor(y)[None, :], n_fft=1024, num_mels=80,
+                  sampling_rate=22050, hop_size=256, win_size=1024,
+                  fmin=0, fmax=None, center=False).numpy()
+    ours = np.asarray(our_mel(jnp.asarray(y)[None, :]))
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=2e-3, rtol=1e-3)
