@@ -169,6 +169,17 @@ class IndexTTS2:
 
         bv_dir = (aux_paths or {}).get("bigvgan", path("hf_cache/bigvgan"))
         bv_ckpt = None
+        # BigVGAN ships its own config.json (AttrDict in the reference,
+        # `s2mel/modules/bigvgan/bigvgan.py:25-28`) — honor it when present
+        if bv_dir and os.path.isfile(os.path.join(bv_dir, "config.json")):
+            import json as _json
+
+            from indextts_tpu.config import BigVGANConfig
+
+            with open(os.path.join(bv_dir, "config.json"), "r",
+                      encoding="utf-8") as f:
+                bv_cfg = BigVGANConfig.from_dict(_json.load(f))
+            self.cfg = dataclasses_replace_bigvgan(self.cfg, bv_cfg)
         if bv_dir and os.path.isdir(bv_dir):
             for cand in ("bigvgan_generator.pt", "pytorch_model.bin", "model.safetensors"):
                 if os.path.exists(os.path.join(bv_dir, cand)):
@@ -727,6 +738,12 @@ class IndexTTS2:
             if stream_return:
                 return
             yield (self.SAMPLING_RATE, wav.astype(np.int16).T)
+
+
+def dataclasses_replace_bigvgan(cfg: IndexTTS2Config, bv) -> IndexTTS2Config:
+    import dataclasses
+
+    return dataclasses.replace(cfg, bigvgan=bv)
 
 
 def _load_plain_tensor(path):
