@@ -178,3 +178,17 @@ def test_resample_preserves_tone():
     # ignore filter edges
     sl = slice(500, -500)
     assert np.sqrt(np.mean((z[0][sl] - expect[sl]) ** 2)) < 1e-3
+
+
+def test_mcd_metric_sane(rng):
+    """MCD: 0 for identical signals, larger for noisier pairs, monotone."""
+    from indextts_tpu.utils.metrics import mcd
+
+    sr = 22050
+    t = np.arange(sr) / sr
+    a = np.sin(2 * np.pi * 220 * t).astype(np.float32) * 0.5
+    assert mcd(a, a, sr) < 1e-3
+    small = a + 0.01 * rng.standard_normal(sr).astype(np.float32)
+    big = a + 0.2 * rng.standard_normal(sr).astype(np.float32)
+    d_small, d_big = mcd(a, small, sr), mcd(a, big, sr)
+    assert 0 < d_small < d_big
