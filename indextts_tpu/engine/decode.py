@@ -156,3 +156,136 @@ def generate(params: Params, cfg: GPTConfig, dims: GPT2Dims,
     _, tokens, _, _, _, finished, lengths, _ = jax.lax.while_loop(cond, body, state)
     lengths = jnp.minimum(lengths, max_new_tokens)
     return tokens, lengths
+
+
+# ---------------------------------------------------------------------------
+# adaptive-cache decode: per-step attention reads scale with the tokens
+# actually generated, not the worst-case budget
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "dims", "max_new_tokens", "span_end", "sampling",
+                     "dtype"))
+def _prefill_and_span(params: Params, cfg: GPTConfig, dims: GPT2Dims,
+                      prefix_embeds, prefix_mask, rng, max_new_tokens: int,
+                      span_end: int, sampling: SamplingConfig, dtype):
+    """Prefill + decode steps [0, span_end) with a cache sized for span_end."""
+    B, P, D = prefix_embeds.shape
+    V = cfg.number_mel_codes
+    stop = cfg.stop_mel_token
+    prefix_embeds = prefix_embeds.astype(dtype)
+
+    start_tok = jnp.full((B,), cfg.start_mel_token, jnp.int32)
+    start_emb = _embed_mel_token(params, start_tok, 0, dtype)
+    seq = jnp.concatenate([prefix_embeds, start_emb[:, None, :]], axis=1)
+    seq_mask = jnp.concatenate([prefix_mask, jnp.ones((B, 1), bool)], axis=1)
+    kv = init_kv_cache(dims, B, P + 1 + span_end, dtype=dtype)
+    hidden, kv = gpt2_prefill(params["gpt"], seq, dims, seq_mask, kv)
+    logits0 = mel_logits_from_hidden(params, hidden[:, -1, :])
+    kv_valid = jnp.zeros((B, P + 1 + span_end), bool)
+    kv_valid = jax.lax.dynamic_update_slice(kv_valid, seq_mask, (0, 0))
+
+    counts = jnp.zeros((B, V), jnp.int32)
+    counts = counts.at[:, 1].add(P)
+    counts = counts.at[:, cfg.start_mel_token].add(1)
+
+    rng, r0 = jax.random.split(rng)
+    tok0 = sample_logits(
+        r0, logits0, counts, temperature=sampling.temperature,
+        top_k=sampling.top_k, top_p=sampling.top_p,
+        repetition_penalty=sampling.repetition_penalty,
+        do_sample=sampling.do_sample,
+        typical_mass=sampling.typical_mass if sampling.typical_sampling else None)
+    tokens = jnp.full((B, max_new_tokens), stop, jnp.int32)
+    tokens = tokens.at[:, 0].set(tok0)
+    counts = counts.at[jnp.arange(B), tok0].add(1)
+    finished = tok0 == stop
+    lengths = jnp.where(finished, 0, max_new_tokens)
+    state = (jnp.int32(1), tokens, counts, kv, kv_valid, finished, lengths, rng)
+    return _decode_span_body(params, cfg, dims, state, P, 1, span_end,
+                             max_new_tokens, sampling, dtype)
+
+
+def _decode_span_body(params, cfg, dims, state, P, start, end, max_new_tokens,
+                      sampling, dtype):
+    stop = cfg.stop_mel_token
+
+    def cond(st):
+        step, _, _, _, _, finished, _, _ = st
+        return jnp.logical_and(step < end, ~jnp.all(finished))
+
+    def body(st):
+        step, tokens, counts, kv, kv_valid, finished, lengths, rng = st
+        prev_tok = tokens[:, step - 1]
+        x = _embed_mel_token(params, prev_tok, step + 1, dtype)
+        pos = P + 1 + step
+        kv_valid = kv_valid.at[:, pos].set(True)
+        h, kv = gpt2_decode_step(params["gpt"], x, dims, pos, kv, kv_valid)
+        logits = mel_logits_from_hidden(params, h)
+        rng, r = jax.random.split(rng)
+        tok = sample_logits(
+            r, logits, counts, temperature=sampling.temperature,
+            top_k=sampling.top_k, top_p=sampling.top_p,
+            repetition_penalty=sampling.repetition_penalty,
+            do_sample=sampling.do_sample,
+            typical_mass=sampling.typical_mass if sampling.typical_sampling else None)
+        tok = jnp.where(finished, stop, tok)
+        tokens = tokens.at[:, step].set(tok)
+        counts = counts.at[jnp.arange(B_), tok].add(jnp.where(finished, 0, 1))
+        newly = jnp.logical_and(~finished, tok == stop)
+        lengths = jnp.where(newly, step, lengths)
+        finished = jnp.logical_or(finished, tok == stop)
+        return step + 1, tokens, counts, kv, kv_valid, finished, lengths, rng
+
+    B_ = state[1].shape[0]
+    return jax.lax.while_loop(cond, body, state)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "dims", "max_new_tokens", "span_end", "dtype",
+                     "sampling"),
+    donate_argnames=("state",))
+def _continue_span(params: Params, cfg: GPTConfig, dims: GPT2Dims, state,
+                   P: int, max_new_tokens: int, span_end: int,
+                   sampling: SamplingConfig, dtype):
+    return _decode_span_body(params, cfg, dims, state, P, None, span_end,
+                             max_new_tokens, sampling, dtype)
+
+
+def generate_adaptive(params: Params, cfg: GPTConfig, dims: GPT2Dims,
+                      prefix_embeds, prefix_mask, rng, max_new_tokens: int,
+                      sampling: SamplingConfig = SamplingConfig(),
+                      dtype=jnp.bfloat16,
+                      spans=(256, 512, 1024, 1536)) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """generate() with a growing KV cache.
+
+    Decodes in spans; after each span, the host checks the on-device finished
+    flag (one scalar sync per span) and, if needed, pads the cache to the next
+    span bucket and continues. Typical segments finish in the first span, so
+    per-step attention reads ~S=P+257 instead of ~S=P+1501 — the decode loop
+    is HBM-bound, so this is a direct bandwidth saving. Token-identical to
+    generate() for a given rng (same sampling stream).
+    """
+    import numpy as np
+
+    spans = tuple(s for s in spans if s < max_new_tokens) + (max_new_tokens,)
+    B, P, _ = prefix_embeds.shape
+
+    state = _prefill_and_span(params, cfg, dims, prefix_embeds, prefix_mask,
+                              rng, max_new_tokens, spans[0], sampling, dtype)
+    for nxt in spans[1:]:
+        step, tokens, counts, kv, kv_valid, finished, lengths, rng_s = state
+        if bool(jnp.all(finished)) or int(step) >= max_new_tokens:
+            break
+        grow = nxt - (kv["k"].shape[2] - P - 1)
+        kv = {"k": jnp.pad(kv["k"], ((0, 0), (0, 0), (0, grow), (0, 0), (0, 0))),
+              "v": jnp.pad(kv["v"], ((0, 0), (0, 0), (0, grow), (0, 0), (0, 0)))}
+        kv_valid = jnp.pad(kv_valid, ((0, 0), (0, grow)))
+        state = _continue_span(params, cfg, dims,
+                               (step, tokens, counts, kv, kv_valid, finished,
+                                lengths, rng_s),
+                               P, max_new_tokens, nxt, sampling, dtype)
+    _, tokens, _, _, _, _, lengths, _ = state
+    return tokens, jnp.minimum(lengths, max_new_tokens)

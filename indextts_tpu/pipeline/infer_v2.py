@@ -41,7 +41,8 @@ import numpy as np
 from indextts_tpu import nn
 from indextts_tpu.config import IndexTTS2Config, load_config
 from indextts_tpu.engine.beam import generate_beam
-from indextts_tpu.engine.decode import SamplingConfig, generate
+from indextts_tpu.engine.decode import (SamplingConfig, generate,
+                                         generate_adaptive)
 from indextts_tpu.models.codec.repcodec import (init_repcodec, repcodec_quantize,
                                                 repcodec_vq2emb)
 from indextts_tpu.models.codec.w2vbert import init_w2vbert, w2vbert_forward
@@ -654,8 +655,9 @@ class IndexTTS2:
                     jnp.asarray([tlen]), prefix_len, dtype=self.dtype)
 
             # [G] decode (beam search when num_beams > 1, the reference
-            # default; plain sampling otherwise)
-            decode_fn = generate_beam if sampling.num_beams > 1 else generate
+            # default; adaptive-cache sampling otherwise)
+            decode_fn = (generate_beam if sampling.num_beams > 1
+                         else generate_adaptive)
             codes, code_lens = decode_fn(
                 self.gpt_params, self.cfg.gpt, self.gpt_dims, prefix_embeds,
                 prefix_mask, self._next_rng(), max_new_tokens=max_mel_tokens,

@@ -146,3 +146,26 @@ def test_generate_greedy_deterministic(uv_params, dims):
     c2, _ = generate(uv_params, cfg, dims, emb, mask, jax.random.PRNGKey(7),
                      max_new_tokens=8, sampling=s, dtype=jnp.float32)
     np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+
+def test_generate_adaptive_matches_generate(uv_params, dims):
+    """Growing-cache decode must be token-identical to the fixed-cache path."""
+    from indextts_tpu.engine.decode import generate_adaptive
+
+    cfg = TINY
+    text = jnp.asarray([[5, 6, 7, 8]], jnp.int32)
+    conds = jnp.zeros((1, 3, cfg.model_dim), jnp.float32)
+    emb, mask = prepare_prefix_embeds(uv_params, cfg, conds, text,
+                                      jnp.asarray([4]), 9)
+    for s in (SamplingConfig(do_sample=False, repetition_penalty=1.0),
+              SamplingConfig(temperature=1.0, top_k=10, top_p=0.9,
+                             repetition_penalty=2.0)):
+        ref_c, ref_l = generate(uv_params, cfg, dims, emb, mask,
+                                jax.random.PRNGKey(3), max_new_tokens=20,
+                                sampling=s, dtype=jnp.float32)
+        ada_c, ada_l = generate_adaptive(uv_params, cfg, dims, emb, mask,
+                                         jax.random.PRNGKey(3),
+                                         max_new_tokens=20, sampling=s,
+                                         dtype=jnp.float32, spans=(4, 9, 14))
+        np.testing.assert_array_equal(np.asarray(ref_c), np.asarray(ada_c))
+        np.testing.assert_array_equal(np.asarray(ref_l), np.asarray(ada_l))
