@@ -25,7 +25,8 @@ import numpy as np
 from indextts_tpu import nn
 from indextts_tpu.config import IndexTTS1Config, load_config_v1
 from indextts_tpu.engine.beam import generate_beam
-from indextts_tpu.engine.decode import SamplingConfig, generate
+from indextts_tpu.engine.decode import (SamplingConfig, generate,
+                                         generate_adaptive)
 from indextts_tpu.models.gpt import unified_voice as uv
 from indextts_tpu.models.gpt import unified_voice_v1 as uv1
 from indextts_tpu.models.gpt.gpt2 import GPT2Dims
@@ -279,7 +280,7 @@ class IndexTTS:
             codes = jnp.concatenate([o[0] for o in outs], axis=0)
             code_lens = jnp.concatenate([o[1] for o in outs], axis=0)
         else:
-            codes, code_lens = generate(
+            codes, code_lens = generate_adaptive(
                 self.gpt_params, cfg.gpt, self.gpt_dims, embeds, mask,
                 self._next_rng(), max_new_tokens=max_mel_tokens,
                 sampling=sampling, dtype=self.dtype)
