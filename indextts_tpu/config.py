@@ -452,7 +452,11 @@ class EngineConfig:
 
     # shape buckets so text/mel length variance doesn't trigger recompiles
     text_buckets: Tuple[int, ...] = (32, 64, 120, 256, 600)
-    mel_len_buckets: Tuple[int, ...] = (256, 512, 1024, 1536, 2048)
+    # multiples of 128 so padded mel/CFM/vocoder work tracks the true length
+    # closely (a 344-frame target pads to 384, not 512); buckets compile
+    # lazily, so unused sizes cost nothing
+    mel_len_buckets: Tuple[int, ...] = (128, 256, 384, 512, 640, 768, 896,
+                                        1024, 1280, 1536, 2048)
     cond_len_buckets: Tuple[int, ...] = (128, 256, 512, 768)
     max_decode_tokens: int = 1500
     dtype: str = "bfloat16"

@@ -355,13 +355,13 @@ class IndexTTS2:
         @functools.partial(jax.jit,
                            static_argnames=("code_bucket", "mel_bucket", "prompt_bucket",
                                             "n_timesteps"))
-        def synth_program(gpt_params, s2mel_params, codec_params, bigvgan_params,
+        def synth_program(gpt_params, s2mel_params, codec_params,
                           cond_latents, emovec, text_ids, text_len,
                           codes, code_len, prompt_cond, prompt_len,
                           ref_mel, ref_len, style, rng,
                           code_bucket: int, mel_bucket: int, prompt_bucket: int,
                           n_timesteps: int = 25):
-            """[S] codes -> waveform, all on device."""
+            """[S] codes -> target-region mel, all on device."""
             # teacher-forced GPT latents (infer_v2.py:628-639)
             latent = uv.forward_latents(gpt_params, cfg.gpt, cond_latents, emovec,
                                         text_ids, text_len, codes, code_len,
@@ -405,11 +405,18 @@ class IndexTTS2:
             idx2 = jnp.arange(mel_bucket)[None, :] + prompt_len[:, None]
             idx2 = jnp.minimum(idx2, total - 1)
             vc_tgt = jnp.take_along_axis(vc, idx2[:, :, None], axis=1)
-            wav = bigvgan_forward(bigvgan_params, cfg.bigvgan,
-                                  vc_tgt.astype(dtype), target_len)
-            return wav, target_len
+            return vc_tgt, target_len
 
         self._jit_synth = synth_program
+
+        @jax.jit
+        def vocoder_program(bigvgan_params, vc_tgt, target_len):
+            """[V] mel -> waveform (split from [S] so the pipeline reports
+            s2mel vs vocoder stage times like the reference does)."""
+            return bigvgan_forward(bigvgan_params, cfg.bigvgan,
+                                   vc_tgt.astype(dtype), target_len)
+
+        self._jit_vocoder = vocoder_program
         self._sr_hop = cfg.s2mel.preprocess_params.spect_params.hop_length
 
     # ----------------------------------------------------------- host helpers
@@ -684,20 +691,26 @@ class IndexTTS2:
             if verbose:
                 print(f"segment {seg_idx}: text_tokens={tlen}, codes={clen}")
 
-            # [S] synthesis
+            # [S] synthesis to mel
             m_start = time.perf_counter()
-            wav, target_len = self._jit_synth(
+            vc_tgt, target_len = self._jit_synth(
                 self.gpt_params, self.s2mel_params, self.codec_params,
-                self.bigvgan_params, cond_latents, emovec,
+                cond_latents, emovec,
                 jnp.asarray(text_ids), jnp.asarray([tlen]),
                 jnp.asarray(codes_np), jnp.asarray([clen]),
                 spk["prompt_cond"], jnp.asarray([spk["ref_len"]]),
                 spk["ref_mel"], jnp.asarray([spk["ref_len"]]), spk["style"],
                 self._next_rng(), code_bucket=cb, mel_bucket=mel_bucket,
                 prompt_bucket=prompt_bucket)
+            vc_tgt.block_until_ready()
+            s2mel_time += time.perf_counter() - m_start
+
+            # [V] vocoder
+            m_start = time.perf_counter()
+            wav = self._jit_vocoder(self.bigvgan_params, vc_tgt, target_len)
             n_samples = int(np.asarray(target_len)[0]) * 256
             wav_np = np.asarray(wav[:, :n_samples], np.float32)
-            s2mel_time += time.perf_counter() - m_start
+            bigvgan_time += time.perf_counter() - m_start
 
             wav_np = np.clip(32767 * wav_np, -32767.0, 32767.0)
             if verbose:
