@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 
 from indextts_tpu.config import GPTConfig
-from indextts_tpu.engine.decode import SamplingConfig, _embed_mel_token
+from indextts_tpu.engine.decode import (SamplingConfig, _embed_mel_token,
+                                        _min_len_mask)
 from indextts_tpu.models.gpt.gpt2 import (GPT2Dims, gpt2_decode_step,
                                           gpt2_prefill, init_kv_cache)
 from indextts_tpu.models.gpt.unified_voice import mel_logits_from_hidden
@@ -166,6 +167,7 @@ def generate_beam(params: Params, cfg: GPTConfig, dims: GPT2Dims,
         kv_valid = kv_valid.at[:, pos].set(True)
         h, kv = gpt2_decode_step(params["gpt"], x, dims, pos, kv, kv_valid)
         logits = mel_logits_from_hidden(params, h)
+        logits = _min_len_mask(logits, stop, step, sampling.min_new_tokens)
         combined = step_scores(logits, counts, beam_scores)
         rng, r = jax.random.split(rng)
         cb, ct, cs = select_candidates(combined, r)
@@ -181,6 +183,7 @@ def generate_beam(params: Params, cfg: GPTConfig, dims: GPT2Dims,
                 counts, kv, kv_valid, new_toks, rng)
 
     # --- first step (expands beam 0 only) ---
+    logits0 = _min_len_mask(logits0, stop, 0, sampling.min_new_tokens)
     combined0 = step_scores(logits0, counts0, beam_scores0)
     rng, r0 = jax.random.split(rng)
     cb0, ct0, cs0 = select_candidates(combined0, r0)

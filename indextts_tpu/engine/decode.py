@@ -53,6 +53,17 @@ class SamplingConfig:
     typical_mass: float = 0.9
     num_beams: int = 1
     length_penalty: float = 0.0
+    min_new_tokens: int = 0
+
+
+def _min_len_mask(logits, stop: int, step, min_new_tokens: int):
+    """HF `MinNewTokensLengthLogitsProcessor`: the stop token is unreachable
+    (-inf) until `min_new_tokens` codes have been generated. `step` is the
+    index of the token about to be sampled (0 = first new token)."""
+    if min_new_tokens <= 0:
+        return logits
+    return jnp.where(step < min_new_tokens,
+                     logits.at[:, stop].set(-jnp.inf), logits)
 
 
 def _embed_mel_token(params: Params, token: jnp.ndarray, pos: jnp.ndarray,
@@ -109,6 +120,7 @@ def generate(params: Params, cfg: GPTConfig, dims: GPT2Dims,
     counts = counts.at[:, cfg.start_mel_token].add(1)
 
     rng, r0 = jax.random.split(rng)
+    logits0 = _min_len_mask(logits0, stop, 0, sampling.min_new_tokens)
     tok0 = sample_logits(
         r0, logits0, counts,
         temperature=sampling.temperature, top_k=sampling.top_k,
@@ -136,6 +148,7 @@ def generate(params: Params, cfg: GPTConfig, dims: GPT2Dims,
         kv_valid = kv_valid.at[:, pos].set(True)
         h, kv = gpt2_decode_step(params["gpt"], x, dims, pos, kv, kv_valid)
         logits = mel_logits_from_hidden(params, h)
+        logits = _min_len_mask(logits, stop, step, sampling.min_new_tokens)
         rng, r = jax.random.split(rng)
         tok = sample_logits(
             r, logits, counts,
@@ -191,6 +204,7 @@ def _prefill_and_span(params: Params, cfg: GPTConfig, dims: GPT2Dims,
     counts = counts.at[:, cfg.start_mel_token].add(1)
 
     rng, r0 = jax.random.split(rng)
+    logits0 = _min_len_mask(logits0, stop, 0, sampling.min_new_tokens)
     tok0 = sample_logits(
         r0, logits0, counts, temperature=sampling.temperature,
         top_k=sampling.top_k, top_p=sampling.top_p,
@@ -223,6 +237,7 @@ def _decode_span_body(params, cfg, dims, state, P, start, end, max_new_tokens,
         kv_valid = kv_valid.at[:, pos].set(True)
         h, kv = gpt2_decode_step(params["gpt"], x, dims, pos, kv, kv_valid)
         logits = mel_logits_from_hidden(params, h)
+        logits = _min_len_mask(logits, stop, step, sampling.min_new_tokens)
         rng, r = jax.random.split(rng)
         tok = sample_logits(
             r, logits, counts, temperature=sampling.temperature,

@@ -86,6 +86,8 @@ class IndexTTS:
                  seed: int = 0, dtype=jnp.bfloat16,
                  cfg: Optional[IndexTTS1Config] = None):
         del device, use_cuda_kernel
+        from indextts_tpu.utils.xla_cache import enable_persistent_cache
+        enable_persistent_cache()
         self.model_dir = model_dir
         if cfg is not None:
             self.cfg = cfg

@@ -92,6 +92,8 @@ class IndexTTS2:
         use_deepspeed, use_accel, use_torch_compile) are accepted and ignored —
         XLA compilation subsumes all of them."""
         del use_cuda_kernel, use_deepspeed, use_accel, use_torch_compile, device
+        from indextts_tpu.utils.xla_cache import enable_persistent_cache
+        enable_persistent_cache()
         self.model_dir = model_dir
         if cfg is not None:
             self.cfg = cfg
@@ -618,13 +620,15 @@ class IndexTTS2:
         max_mel_tokens = generation_kwargs.pop("max_mel_tokens", 1500)
         typical_sampling = generation_kwargs.pop("typical_sampling", False)
         typical_mass = generation_kwargs.pop("typical_mass", 0.9)
+        min_new_tokens = generation_kwargs.pop("min_new_tokens", 0)
         sampling = SamplingConfig(
             do_sample=bool(do_sample), temperature=float(temperature),
             top_k=int(top_k), top_p=float(top_p),
             repetition_penalty=float(repetition_penalty),
             num_beams=int(num_beams), length_penalty=float(length_penalty),
             typical_sampling=bool(typical_sampling),
-            typical_mass=float(typical_mass))
+            typical_mass=float(typical_mass),
+            min_new_tokens=int(min_new_tokens))
 
         wavs = []
         gpt_gen_time = gpt_forward_time = s2mel_time = bigvgan_time = 0.0

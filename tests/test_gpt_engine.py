@@ -148,6 +148,27 @@ def test_generate_greedy_deterministic(uv_params, dims):
     np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
 
 
+def test_min_new_tokens_blocks_stop(uv_params, dims):
+    """HF MinNewTokensLengthLogitsProcessor semantics: stop cannot be emitted
+    before min_new_tokens codes exist, in both decode paths."""
+    from indextts_tpu.engine.decode import generate_adaptive
+
+    cfg = TINY
+    text = jnp.asarray([[5, 6, 7]], jnp.int32)
+    conds = jnp.zeros((1, 2, cfg.model_dim), jnp.float32)
+    emb, mask = prepare_prefix_embeds(uv_params, cfg, conds, text,
+                                      jnp.asarray([3]), 7)
+    s = SamplingConfig(temperature=1.0, top_k=0, top_p=1.0,
+                       repetition_penalty=1.0, min_new_tokens=10)
+    for fn, kw in ((generate, {}), (generate_adaptive, {"spans": (4, 8)})):
+        codes, lengths = fn(uv_params, cfg, dims, emb, mask,
+                            jax.random.PRNGKey(5), max_new_tokens=14,
+                            sampling=s, dtype=jnp.float32, **kw)
+        codes, lengths = np.asarray(codes), np.asarray(lengths)
+        assert (codes[0, :10] != cfg.stop_mel_token).all()
+        assert lengths[0] >= 10
+
+
 def test_generate_adaptive_matches_generate(uv_params, dims):
     """Growing-cache decode must be token-identical to the fixed-cache path."""
     from indextts_tpu.engine.decode import generate_adaptive
