@@ -71,7 +71,12 @@ def init_gpt2(rng: InitRng, dims: GPT2Dims) -> Params:
 
 def quantize_gpt2_int8(params: Params) -> Params:
     """Weight-only int8 for the four big per-layer matmuls (decode is
-    HBM-bandwidth bound on weight reads; int8 halves that vs bf16)."""
+    HBM-bandwidth bound on weight reads; int8 halves that vs bf16).
+
+    Call this on HOST (numpy) arrays before the tree's jax.device_put.
+    Quantizing already-on-device weights leaves the int8 tensors in a
+    jit-output layout that defeats dequant fusion in the decode loop
+    (~50x slower, measured)."""
     import copy
 
     p = dict(params)
