@@ -187,20 +187,26 @@ def gpt2_decode_step(params: Params, x: jnp.ndarray, dims: GPT2Dims,
     Returns (hidden (B, D) after ln_f, updated cache).
     """
     B, D = x.shape
-    S = kv_cache["k"].shape[2]
     x = x[:, None, :]  # (B, 1, D)
 
+    # The full cache rides the scan CARRY and is updated with a one-slot
+    # dynamic_update_slice per layer, which XLA performs in place. Passing
+    # the cache through scan xs/ys instead (the obvious structure) makes XLA
+    # copy every layer's full (B, S, H, Dh) slice every step — measured
+    # 1.97 -> 1.31 ms/step at S=513 on v5e from this change alone.
     def body(carry, inputs):
-        xc = carry
-        lp, kc, vc = inputs
+        xc, kfull, vfull = carry
+        lp, li = inputs
         h = nn.layer_norm(lp["ln_1"], xc)
         qkv = nn.dense(lp["attn"]["c_attn"], h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(B, 1, dims.heads, dims.head_dim)
-        k = k.reshape(B, 1, dims.heads, dims.head_dim)
-        v = v.reshape(B, 1, dims.heads, dims.head_dim)
-        kc = jax.lax.dynamic_update_slice(kc, k.astype(kc.dtype), (0, pos, 0, 0))
-        vc = jax.lax.dynamic_update_slice(vc, v.astype(vc.dtype), (0, pos, 0, 0))
+        k = k.reshape(B, 1, dims.heads, dims.head_dim).astype(kfull.dtype)
+        v = v.reshape(B, 1, dims.heads, dims.head_dim).astype(vfull.dtype)
+        kfull = jax.lax.dynamic_update_slice(kfull, k[None], (li, 0, pos, 0, 0))
+        vfull = jax.lax.dynamic_update_slice(vfull, v[None], (li, 0, pos, 0, 0))
+        kc = jax.lax.dynamic_index_in_dim(kfull, li, 0, keepdims=False)
+        vc = jax.lax.dynamic_index_in_dim(vfull, li, 0, keepdims=False)
         # attention over the whole cache, masked to valid slots
         qh = q.transpose(0, 2, 1, 3)                      # (B, H, 1, Dh)
         kh = kc.transpose(0, 2, 1, 3)                     # (B, H, S, Dh)
@@ -212,8 +218,10 @@ def gpt2_decode_step(params: Params, x: jnp.ndarray, dims: GPT2Dims,
         h = nn.layer_norm(lp["ln_2"], xc)
         h = nn.gelu_new(nn.dense(lp["mlp"]["c_fc"], h))
         xc = xc + nn.dense(lp["mlp"]["c_proj"], h)
-        return xc, (kc, vc)
+        return (xc, kfull, vfull), None
 
-    x, (k_new, v_new) = jax.lax.scan(body, x, (params["h"], kv_cache["k"], kv_cache["v"]))
+    (x, k_new, v_new), _ = jax.lax.scan(
+        body, (x, kv_cache["k"], kv_cache["v"]),
+        (params["h"], jnp.arange(dims.layers)))
     x = nn.layer_norm(params["ln_f"], x)
     return x[:, 0, :], {"k": k_new, "v": v_new}
