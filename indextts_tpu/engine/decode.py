@@ -292,7 +292,10 @@ def generate_adaptive(params: Params, cfg: GPTConfig, dims: GPT2Dims,
                               rng, max_new_tokens, spans[0], sampling, dtype)
     for nxt in spans[1:]:
         step, tokens, counts, kv, kv_valid, finished, lengths, rng_s = state
-        if bool(jnp.all(finished)) or int(step) >= max_new_tokens:
+        # one batched host readback per span (each readback is a full RTT on
+        # relay-attached TPUs, so don't read the two scalars separately)
+        fin, st = jax.device_get((jnp.all(finished), step))
+        if bool(fin) or int(st) >= max_new_tokens:
             break
         grow = nxt - (kv["k"].shape[2] - P - 1)
         kv = {"k": jnp.pad(kv["k"], ((0, 0), (0, 0), (0, grow), (0, 0), (0, 0))),

@@ -165,14 +165,15 @@ def downsample2(x: jnp.ndarray, lengths: Optional[jnp.ndarray] = None,
         feature_group_count=C, preferred_element_type=jnp.float32).astype(x.dtype)
 
 
-def antialias_activation(x: jnp.ndarray, alpha: jnp.ndarray,
-                         beta: Optional[jnp.ndarray],
-                         lengths: Optional[jnp.ndarray] = None,
-                         logscale: bool = True) -> jnp.ndarray:
-    """Activation1d: upsample x2 -> snake(beta) -> downsample x2.
+def antialias_activation_composite(x: jnp.ndarray, alpha: jnp.ndarray,
+                                   beta: Optional[jnp.ndarray],
+                                   lengths: Optional[jnp.ndarray] = None,
+                                   logscale: bool = True) -> jnp.ndarray:
+    """Activation1d as literal up2 -> snake -> down2 (torch-shaped reference).
 
-    This is the XLA reference for the fused Pallas kernel (the TPU equivalent
-    of `anti_alias_activation_cuda.cu`). lengths are at the *input* rate.
+    Kept as the numerical reference for the fused paths; the depthwise
+    grouped convs it lowers to are a TPU slow path (~60x off roofline), so
+    serving uses `antialias_activation` below.
     """
     up_len = None if lengths is None else lengths * 2
     y = upsample2(x, lengths)
@@ -181,3 +182,80 @@ def antialias_activation(x: jnp.ndarray, alpha: jnp.ndarray,
     else:
         y = snake_beta(y, alpha, beta, logscale)
     return downsample2(y, up_len)
+
+
+def antialias_activation(x: jnp.ndarray, alpha: jnp.ndarray,
+                         beta: Optional[jnp.ndarray],
+                         lengths: Optional[jnp.ndarray] = None,
+                         logscale: bool = True) -> jnp.ndarray:
+    """Fused Activation1d: polyphase shift-and-sum, no grouped convs/gathers.
+
+    Exactly equal to `antialias_activation_composite` (== reference
+    `alias_free_activation/torch`, with the CUDA kernel's fusion idea,
+    `anti_alias_activation_cuda.cu`). With x_rep the replicate-extension of
+    the valid region and f/g the kaiser up/down filters (12 taps):
+
+        phase0[i] = 2*sum_j f[2j]   * x_rep[i-3+j]   (up output at even 2i)
+        phase1[i] = 2*sum_j f[2j+1] * x_rep[i-2+j]   (odd 2i+1)
+        s0, s1    = snake(phase0), snake(phase1)
+        y[t]      = sum_{j=-2..3} g[2j+5]*s0[t+j] + sum_{m=-3..2} g[2m+6]*s1[t+m]
+
+    Out-of-range reads replicate the 2x-rate signal: up[<0] == up[0] == s0[0];
+    up[>2L-1] == up[2L-1] == s1[L-1] (L = per-row valid length). Everything is
+    static slices + fused multiply-adds, which XLA keeps on the VPU at full
+    bandwidth (the depthwise-conv formulation ran ~60x off roofline and
+    dominated the whole BigVGAN stack).
+    """
+    B, T, C = x.shape
+    f = np.asarray(up_filter(2), np.float32)
+    g = np.asarray(down_filter(2), np.float32)
+    f0, f1 = f[0::2] * 2.0, f[1::2] * 2.0
+    xf = x.astype(jnp.float32)
+
+    if lengths is None:
+        edge = xf[:, -1:, :]
+        tail_mask = None
+    else:
+        edge = jnp.take_along_axis(
+            xf, jnp.maximum(lengths - 1, 0)[:, None, None], axis=1)  # (B,1,C)
+        tail_mask = (jnp.arange(T)[None, :] < lengths[:, None])[:, :, None]
+        xf = jnp.where(tail_mask, xf, edge)
+
+    # x_rep over indices [-3, T+3]: 3 left replicates, 4 right
+    x_ext = jnp.concatenate(
+        [jnp.broadcast_to(xf[:, :1], (B, 3, C)), xf,
+         jnp.broadcast_to(edge, (B, 4, C))], axis=1)
+
+    p0 = sum(f0[j] * jax.lax.slice_in_dim(x_ext, j, j + T, axis=1)
+             for j in range(6))
+    p1 = sum(f1[j] * jax.lax.slice_in_dim(x_ext, j + 1, j + 1 + T, axis=1)
+             for j in range(6))
+
+    a = alpha.astype(jnp.float32)
+    b = a if beta is None else beta.astype(jnp.float32)
+    if logscale:
+        a = jnp.exp(a)
+        b = a if beta is None else jnp.exp(b)
+    sn0 = jnp.sin(p0 * a)
+    sn1 = jnp.sin(p1 * a)
+    s0 = p0 + sn0 * sn0 / (b + 1e-9)
+    s1 = p1 + sn1 * sn1 / (b + 1e-9)
+
+    # edge-replicate the 2x-rate signal: left value s0[0], right value s1[L-1]
+    if tail_mask is None:
+        s1_edge = s1[:, -1:, :]
+    else:
+        s1_edge = jnp.take_along_axis(
+            s1, jnp.maximum(lengths - 1, 0)[:, None, None], axis=1)
+        s0 = jnp.where(tail_mask, s0, s1_edge)
+        s1 = jnp.where(tail_mask, s1, s1_edge)
+    left = jnp.broadcast_to(s0[:, :1], (B, 3, C))
+    right = jnp.broadcast_to(s1_edge, (B, 3, C))
+    s0_full = jnp.concatenate([left, s0, right], axis=1)  # index k == s0[k-3]
+    s1_full = jnp.concatenate([left, s1, right], axis=1)
+
+    y = sum(g[2 * j + 1] * jax.lax.slice_in_dim(s0_full, j + 1, j + 1 + T, axis=1)
+            for j in range(6))
+    y = y + sum(g[2 * m] * jax.lax.slice_in_dim(s1_full, m, m + T, axis=1)
+                for m in range(6))
+    return y.astype(x.dtype)

@@ -94,6 +94,9 @@ class IndexTTS2:
         del use_cuda_kernel, use_deepspeed, use_accel, use_torch_compile, device
         from indextts_tpu.utils.xla_cache import enable_persistent_cache
         enable_persistent_cache()
+        # emit a per-stage device sync for honest s2mel/vocoder split timing
+        # (costs one relay RTT per segment; totals/RTF are exact either way)
+        self.stage_sync = os.environ.get("INDEXTTS_STAGE_SYNC", "0") == "1"
         self.model_dir = model_dir
         if cfg is not None:
             self.cfg = cfg
@@ -686,8 +689,14 @@ class IndexTTS2:
 
             clen = max(int(code_lens_np[0]), 1)
             cb = pick_bucket(clen, eng.mel_len_buckets)
-            codes_np = pad_to(np.asarray(codes), cb, axis=1,
-                              value=self.stop_mel_token)
+            # pad/slice the codes to the bucket ON DEVICE — generate() already
+            # stop-pads past the stop token, so this is a pure shape op and
+            # avoids a readback+reupload round-trip through the relay
+            if codes.shape[1] >= cb:
+                codes_b = codes[:, :cb]
+            else:
+                codes_b = jnp.pad(codes, ((0, 0), (0, cb - codes.shape[1])),
+                                  constant_values=self.stop_mel_token)
             mel_bucket = pick_bucket(int(clen * self.MEL_PER_CODE) + 1,
                                      eng.mel_len_buckets)
             prompt_bucket = spk["prompt_cond"].shape[1]
@@ -701,18 +710,24 @@ class IndexTTS2:
                 self.gpt_params, self.s2mel_params, self.codec_params,
                 cond_latents, emovec,
                 jnp.asarray(text_ids), jnp.asarray([tlen]),
-                jnp.asarray(codes_np), jnp.asarray([clen]),
+                codes_b, jnp.asarray([clen]),
                 spk["prompt_cond"], jnp.asarray([spk["ref_len"]]),
                 spk["ref_mel"], jnp.asarray([spk["ref_len"]]), spk["style"],
                 self._next_rng(), code_bucket=cb, mel_bucket=mel_bucket,
                 prompt_bucket=prompt_bucket)
-            vc_tgt.block_until_ready()
+            if self.stage_sync:
+                # a host readback is the only true sync on relay-attached
+                # TPUs (block_until_ready returns before compute drains);
+                # costs one RTT, so only when stage timing is requested
+                np.asarray(vc_tgt[0, 0, 0])
             s2mel_time += time.perf_counter() - m_start
 
             # [V] vocoder
             m_start = time.perf_counter()
             wav = self._jit_vocoder(self.bigvgan_params, vc_tgt, target_len)
-            n_samples = int(np.asarray(target_len)[0]) * 256
+            # target_len == int(float32(clen) * 1.72) — recompute on host to
+            # avoid reading the scalar back through the relay
+            n_samples = int(np.float32(clen) * np.float32(self.MEL_PER_CODE)) * 256
             wav_np = np.asarray(wav[:, :n_samples], np.float32)
             bigvgan_time += time.perf_counter() - m_start
 

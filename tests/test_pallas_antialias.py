@@ -41,3 +41,27 @@ def test_fused_matches_composite_masked(rng):
     for b in range(B):
         np.testing.assert_allclose(out[b, : lens[b]], ref[b, : lens[b]],
                                    atol=2e-5, rtol=1e-4)
+
+
+def test_fused_xla_matches_composite_varlen():
+    """The shift-and-sum serving path == literal up2->snake->down2 composite,
+    including replicate-edge handling at per-row valid lengths."""
+    import jax.numpy as jnp
+    import numpy as np
+    from indextts_tpu.ops.snake import (antialias_activation,
+                                        antialias_activation_composite)
+
+    rng = np.random.default_rng(11)
+    B, T, C = 3, 64, 16
+    x = jnp.asarray(rng.standard_normal((B, T, C)), jnp.float32)
+    alpha = jnp.asarray(rng.standard_normal(C) * 0.3, jnp.float32)
+    beta = jnp.asarray(rng.standard_normal(C) * 0.3, jnp.float32)
+    for lengths in (None, jnp.asarray([64, 37, 1])):
+        for b in (None, beta):
+            ref = np.asarray(antialias_activation_composite(x, alpha, b, lengths))
+            out = np.asarray(antialias_activation(x, alpha, b, lengths))
+            if lengths is None:
+                np.testing.assert_allclose(out, ref, atol=2e-5)
+            else:
+                for i, L in enumerate(np.asarray(lengths)):
+                    np.testing.assert_allclose(out[i, :L], ref[i, :L], atol=2e-5)
