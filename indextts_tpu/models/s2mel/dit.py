@@ -28,7 +28,7 @@ import numpy as np
 from indextts_tpu import nn
 from indextts_tpu.config import DiTConfig, S2MelConfig, WaveNetConfig
 from indextts_tpu.nn import InitRng, Params
-from indextts_tpu.ops.rope import apply_rotary_emb, precompute_freqs_cis
+from indextts_tpu.ops.rope import apply_rotary_emb_half, precompute_freqs_cis
 
 
 # ---------------------------------------------------------------------------
@@ -113,8 +113,10 @@ def dit_backbone_forward(p: Params, cfg: DiTConfig, x: jnp.ndarray,
         h = _ada_ln(lp["attention_norm"], x, c, cfg.norm_eps)
         qkv = nn.dense(lp["attn"]["wqkv"], h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = apply_rotary_emb(q.reshape(B, T, H, Dh), freqs_cis)
-        k = apply_rotary_emb(k.reshape(B, T, H, Dh), freqs_cis)
+        # half-split rope: wqkv columns are pair-deinterleaved (random init
+        # is layout-free; torch checkpoints are permuted by the converter)
+        q = apply_rotary_emb_half(q.reshape(B, T, H, Dh), freqs_cis)
+        k = apply_rotary_emb_half(k.reshape(B, T, H, Dh), freqs_cis)
         v = v.reshape(B, T, H, Dh)
         out = nn.mha(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
                      v.transpose(0, 2, 1, 3), mask=attn_mask)

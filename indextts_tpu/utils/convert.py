@@ -284,10 +284,14 @@ def convert_dit(sd: SD, s2, prefix: str = "") -> dict:
     layers = []
     for i in range(cfg.depth):
         b = f"{prefix}transformer.layers.{i}."
-        # gpt_fast wqkv is one fused linear
+        # gpt_fast wqkv is one fused linear; permute q/k columns to the
+        # half-split rope layout (see ops/rope.py — q.k^T is invariant)
+        from indextts_tpu.ops.rope import deinterleave_rope_columns
+        wqkv = deinterleave_rope_columns(linear(sd, b + "attention.wqkv"),
+                                         cfg.num_heads, cfg.head_dim)
         layers.append({
             "attention_norm": _ada_ln(sd, b + "attention_norm"),
-            "attn": {"wqkv": linear(sd, b + "attention.wqkv"),
+            "attn": {"wqkv": wqkv,
                      "wo": linear(sd, b + "attention.wo")},
             "ffn_norm": _ada_ln(sd, b + "ffn_norm"),
             "ff": {"w1": linear(sd, b + "feed_forward.w1"),

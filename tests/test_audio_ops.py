@@ -192,3 +192,33 @@ def test_mcd_metric_sane(rng):
     big = a + 0.2 * rng.standard_normal(sr).astype(np.float32)
     d_small, d_big = mcd(a, small, sr), mcd(a, big, sr)
     assert 0 < d_small < d_big
+
+
+def test_rope_half_matches_interleaved_under_permutation():
+    """apply_rotary_emb_half on deinterleaved lanes == lane-permutation of the
+    literal gpt_fast interleaved rope (so q.k^T is unchanged)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from indextts_tpu.ops.rope import (apply_rotary_emb, apply_rotary_emb_half,
+                                       deinterleave_rope_columns,
+                                       precompute_freqs_cis)
+
+    rng = np.random.default_rng(0)
+    B, T, H, D = 2, 16, 4, 8
+    x = rng.standard_normal((B, T, H, D)).astype(np.float32)
+    fc = jnp.asarray(precompute_freqs_cis(T, D))
+    ref = np.asarray(apply_rotary_emb(jnp.asarray(x), fc))
+    ref_perm = np.concatenate([ref[..., 0::2], ref[..., 1::2]], axis=-1)
+    x_perm = np.concatenate([x[..., 0::2], x[..., 1::2]], axis=-1)
+    out = np.asarray(apply_rotary_emb_half(jnp.asarray(x_perm), fc))
+    np.testing.assert_allclose(out, ref_perm, atol=1e-6)
+
+    # and the converter-side column permutation produces exactly that layout
+    lin = {"kernel": rng.standard_normal((6, 3 * H * D)).astype(np.float32),
+           "bias": rng.standard_normal((3 * H * D,)).astype(np.float32)}
+    out_lin = deinterleave_rope_columns(lin, H, D)
+    q = lin["kernel"][:, : H * D].reshape(6, H, D)
+    q_perm = np.concatenate([q[..., 0::2], q[..., 1::2]], axis=-1).reshape(6, H * D)
+    np.testing.assert_array_equal(out_lin["kernel"][:, : H * D], q_perm)
+    v = lin["kernel"][:, 2 * H * D:]
+    np.testing.assert_array_equal(out_lin["kernel"][:, 2 * H * D:], v)
