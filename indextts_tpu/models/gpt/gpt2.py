@@ -187,15 +187,18 @@ def gpt2_decode_step(params: Params, x: jnp.ndarray, dims: GPT2Dims,
     Returns (hidden (B, D) after ln_f, updated cache).
     """
     B, D = x.shape
-    x = x[:, None, :]  # (B, 1, D)
 
     # The full cache rides the scan CARRY and is updated with a one-slot
     # dynamic_update_slice per layer, which XLA performs in place. Passing
     # the cache through scan xs/ys instead (the obvious structure) makes XLA
     # copy every layer's full (B, S, H, Dh) slice every step — measured
     # 1.97 -> 1.31 ms/step at S=513 on v5e from this change alone.
+    # Matmuls stay on XLA: its scan pipelining prefetches the NEXT layer's
+    # int8 weights during the current layer's compute, which per-call Pallas
+    # kernels cannot (measured 1.23 ms/step XLA vs 1.43 fused-Pallas-MLP vs
+    # 1.57 per-matmul Pallas at S=321; kernels kept in ops/pallas/int8_matmul).
     def body(carry, inputs):
-        xc, kfull, vfull = carry
+        xc, kfull, vfull = carry                          # xc: (B, D)
         lp, li = inputs
         h = nn.layer_norm(lp["ln_1"], xc)
         qkv = nn.dense(lp["attn"]["c_attn"], h)
@@ -213,7 +216,7 @@ def gpt2_decode_step(params: Params, x: jnp.ndarray, dims: GPT2Dims,
         vh = vc.transpose(0, 2, 1, 3)
         mask = kv_valid[:, None, None, :]                 # (B, 1, 1, S)
         out = nn.mha(qh, kh.astype(qh.dtype), vh.astype(qh.dtype), mask=mask)
-        out = out.transpose(0, 2, 1, 3).reshape(B, 1, D)
+        out = out.transpose(0, 2, 1, 3).reshape(B, D)
         xc = xc + nn.dense(lp["attn"]["c_proj"], out)
         h = nn.layer_norm(lp["ln_2"], xc)
         h = nn.gelu_new(nn.dense(lp["mlp"]["c_fc"], h))
@@ -224,4 +227,4 @@ def gpt2_decode_step(params: Params, x: jnp.ndarray, dims: GPT2Dims,
         body, (x, kv_cache["k"], kv_cache["v"]),
         (params["h"], jnp.arange(dims.layers)))
     x = nn.layer_norm(params["ln_f"], x)
-    return x[:, 0, :], {"k": k_new, "v": v_new}
+    return x, {"k": k_new, "v": v_new}

@@ -65,3 +65,18 @@ def test_fused_xla_matches_composite_varlen():
             else:
                 for i, L in enumerate(np.asarray(lengths)):
                     np.testing.assert_allclose(out[i, :L], ref[i, :L], atol=2e-5)
+
+
+def test_int8_matvec_interpret_matches_dense():
+    import jax.numpy as jnp
+    import numpy as np
+    from indextts_tpu.ops.pallas.int8_matmul import int8_matvec
+
+    rng = np.random.default_rng(3)
+    for (M, K, N, bn) in ((1, 64, 256, 128), (3, 96, 384, 128)):
+        x = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
+        wq = jnp.asarray(rng.integers(-127, 128, (K, N)), jnp.int8)
+        ref = np.asarray(jnp.dot(x, wq.astype(jnp.bfloat16),
+                                 preferred_element_type=jnp.float32))
+        out = np.asarray(int8_matvec(x, wq, block_n=bn, interpret=True))
+        np.testing.assert_allclose(out, ref, rtol=1e-2, atol=1e-2)
