@@ -64,7 +64,12 @@ def main():
           flush=True)
 
     max_mel_tokens = int(os.environ.get("BENCH_MAX_MEL_TOKENS", "500"))
-    quant = os.environ.get("BENCH_QUANT") or None
+    # serving config: weight-only int8 GPT (activations/compute stay bf16) —
+    # the decode loop is HBM-bound on weight reads. BENCH_QUANT=bf16 for the
+    # unquantized path.
+    quant = os.environ.get("BENCH_QUANT", "int8")
+    if quant in ("bf16", "none", "0"):
+        quant = None
     text = ("the quick brown fox jumps over the lazy dog and runs into the "
             "forest . the dog runs over the lazy fox . ")
 
