@@ -461,6 +461,10 @@ class EngineConfig:
     max_decode_tokens: int = 1500
     dtype: str = "bfloat16"
     donate_kv_cache: bool = True
+    # decode all text segments as one left-padded batch (sampling path only):
+    # the AR loop is HBM-bound on weight reads, so B segments decode in
+    # ~the time of one. Disabled automatically for streaming/beam search.
+    batch_segments: bool = True
 
 
 # ---------------------------------------------------------------------------

@@ -357,6 +357,21 @@ class IndexTTS2:
 
         self._jit_prefix = prefix_program
 
+        @functools.partial(jax.jit, static_argnames=("prefix_len",))
+        def prefix_batch_program(gpt_params, cond_latents, emovec,
+                                 text_ids, text_len, prefix_len):
+            """[EB] batched prefix embeddings: one speaker's conds broadcast
+            over B text segments (left-padded rows, reference
+            `prepare_gpt_inputs` batching, model_v2.py:633-696)."""
+            conds = uv.build_conds_latent(gpt_params, cond_latents, emovec)
+            B = text_ids.shape[0]
+            conds = jnp.broadcast_to(conds, (B,) + conds.shape[1:])
+            return uv.prepare_prefix_embeds(gpt_params, cfg.gpt, conds,
+                                            text_ids, text_len, prefix_len,
+                                            dtype=dtype)
+
+        self._jit_prefix_batch = prefix_batch_program
+
         @functools.partial(jax.jit,
                            static_argnames=("code_bucket", "mel_bucket", "prompt_bucket",
                                             "n_timesteps"))
@@ -640,43 +655,85 @@ class IndexTTS2:
         eng = self.cfg.engine
         n_cond = self.cfg.gpt.condition_num_latent + 2
 
+        # tokenize all segments up front
+        seg_ids = [self.tokenizer.convert_tokens_to_ids(s) for s in segments]
+        seg_tlens = [len(ids) for ids in seg_ids]
+
+        # [GB] batched decode: all segments as one left-padded batch. The AR
+        # loop is HBM-bound on weight reads, so B segments decode in roughly
+        # the time of one (new capability vs the reference's sequential loop).
+        batched = (eng.batch_segments and len(segments) > 1
+                   and sampling.num_beams == 1 and not stream_return)
+        batch_codes = batch_code_lens = None
+        cond_latents = emovec = None
+        if batched:
+            m_start = time.perf_counter()
+            nseg = len(segments)
+            tb_all = pick_bucket(max(seg_tlens), eng.text_buckets)
+            text_mat = np.zeros((nseg, tb_all), np.int32)
+            for i, ids in enumerate(seg_ids):
+                text_mat[i, :len(ids)] = ids
+            prefix_len_all = n_cond + tb_all + 2
+            override = (emovec_mat if emovec_mat is not None
+                        else jnp.zeros((1, self.cfg.gpt.model_dim), jnp.float32))
+            cond_latents, emovec, _, _ = self._jit_prefix(
+                self.gpt_params, spk["spk_cond_emb"], jnp.asarray([spk["spk_len"]]),
+                emo_cond_emb, jnp.asarray([emo_len]), jnp.asarray(float(emo_alpha)),
+                override, jnp.asarray(False),
+                jnp.asarray(text_mat[:1]), jnp.asarray([seg_tlens[0]]),
+                prefix_len_all)
+            if emo_vector is not None:
+                emovec = emovec_mat + (1.0 - weight_sum) * emovec
+            pe, pm = self._jit_prefix_batch(
+                self.gpt_params, cond_latents, emovec, jnp.asarray(text_mat),
+                jnp.asarray(seg_tlens), prefix_len_all)
+            batch_codes, batch_code_lens = generate_adaptive(
+                self.gpt_params, self.cfg.gpt, self.gpt_dims, pe, pm,
+                self._next_rng(), max_new_tokens=max_mel_tokens,
+                sampling=sampling, dtype=self.dtype)
+            batch_code_lens = np.asarray(batch_code_lens)
+            gpt_gen_time += time.perf_counter() - m_start
+
         for seg_idx, sent in enumerate(segments):
             self._set_gr_progress(0.2 + 0.7 * seg_idx / len(segments),
                                   f"speech synthesis {seg_idx + 1}/{len(segments)}...")
-            ids = self.tokenizer.convert_tokens_to_ids(sent)
-            tlen = len(ids)
+            ids = seg_ids[seg_idx]
+            tlen = seg_tlens[seg_idx]
             tb = pick_bucket(tlen, eng.text_buckets)
             text_ids = np.zeros((1, tb), np.int32)
             text_ids[0, :tlen] = ids
 
             m_start = time.perf_counter()
-            # [E] prefix
-            prefix_len = n_cond + tb + 2
-            use_override = jnp.asarray(emo_vector is not None)
-            override = (emovec_mat if emovec_mat is not None
-                        else jnp.zeros((1, self.cfg.gpt.model_dim), jnp.float32))
-            cond_latents, emovec, prefix_embeds, prefix_mask = self._jit_prefix(
-                self.gpt_params, spk["spk_cond_emb"], jnp.asarray([spk["spk_len"]]),
-                emo_cond_emb, jnp.asarray([emo_len]), jnp.asarray(float(emo_alpha)),
-                override, jnp.asarray(False),  # override merged below
-                jnp.asarray(text_ids), jnp.asarray([tlen]), prefix_len)
-            if emo_vector is not None:
-                # emovec = emovec_mat + (1 - sum(w)) * merged (infer_v2.py:568-570)
-                emovec = emovec_mat + (1.0 - weight_sum) * emovec
-                conds = uv.build_conds_latent(self.gpt_params, cond_latents, emovec)
-                prefix_embeds, prefix_mask = uv.prepare_prefix_embeds(
-                    self.gpt_params, self.cfg.gpt, conds, jnp.asarray(text_ids),
-                    jnp.asarray([tlen]), prefix_len, dtype=self.dtype)
+            if batched:
+                codes = batch_codes[seg_idx:seg_idx + 1]
+                code_lens_np = batch_code_lens[seg_idx:seg_idx + 1]
+            else:
+                # [E] prefix
+                prefix_len = n_cond + tb + 2
+                override = (emovec_mat if emovec_mat is not None
+                            else jnp.zeros((1, self.cfg.gpt.model_dim), jnp.float32))
+                cond_latents, emovec, prefix_embeds, prefix_mask = self._jit_prefix(
+                    self.gpt_params, spk["spk_cond_emb"], jnp.asarray([spk["spk_len"]]),
+                    emo_cond_emb, jnp.asarray([emo_len]), jnp.asarray(float(emo_alpha)),
+                    override, jnp.asarray(False),  # override merged below
+                    jnp.asarray(text_ids), jnp.asarray([tlen]), prefix_len)
+                if emo_vector is not None:
+                    # emovec = emovec_mat + (1 - sum(w)) * merged (infer_v2.py:568-570)
+                    emovec = emovec_mat + (1.0 - weight_sum) * emovec
+                    conds = uv.build_conds_latent(self.gpt_params, cond_latents, emovec)
+                    prefix_embeds, prefix_mask = uv.prepare_prefix_embeds(
+                        self.gpt_params, self.cfg.gpt, conds, jnp.asarray(text_ids),
+                        jnp.asarray([tlen]), prefix_len, dtype=self.dtype)
 
-            # [G] decode (beam search when num_beams > 1, the reference
-            # default; adaptive-cache sampling otherwise)
-            decode_fn = (generate_beam if sampling.num_beams > 1
-                         else generate_adaptive)
-            codes, code_lens = decode_fn(
-                self.gpt_params, self.cfg.gpt, self.gpt_dims, prefix_embeds,
-                prefix_mask, self._next_rng(), max_new_tokens=max_mel_tokens,
-                sampling=sampling, dtype=self.dtype)
-            code_lens_np = np.asarray(code_lens)
+                # [G] decode (beam search when num_beams > 1, the reference
+                # default; adaptive-cache sampling otherwise)
+                decode_fn = (generate_beam if sampling.num_beams > 1
+                             else generate_adaptive)
+                codes, code_lens = decode_fn(
+                    self.gpt_params, self.cfg.gpt, self.gpt_dims, prefix_embeds,
+                    prefix_mask, self._next_rng(), max_new_tokens=max_mel_tokens,
+                    sampling=sampling, dtype=self.dtype)
+                code_lens_np = np.asarray(code_lens)
             gpt_gen_time += time.perf_counter() - m_start
 
             if not has_warned and int(code_lens_np[0]) >= max_mel_tokens:

@@ -169,6 +169,37 @@ def test_min_new_tokens_blocks_stop(uv_params, dims):
         assert lengths[0] >= 10
 
 
+def test_batched_rows_match_sequential_greedy(uv_params, dims):
+    """Decoding B left-padded segments as one batch must give each row the
+    same greedy codes as decoding it alone (the batched-segment pipeline
+    relies on this row independence)."""
+    from indextts_tpu.engine.decode import generate_adaptive
+
+    cfg = TINY
+    texts = [[5, 6, 7, 8], [9, 10, 11], [12, 13, 14, 15]]
+    L = max(len(t) for t in texts)
+    mat = np.zeros((len(texts), L), np.int32)
+    for i, t in enumerate(texts):
+        mat[i, :len(t)] = t
+    lens = jnp.asarray([len(t) for t in texts])
+    conds = jnp.zeros((len(texts), 3, cfg.model_dim), jnp.float32)
+    P = 3 + L + 2
+    s = SamplingConfig(do_sample=False, repetition_penalty=1.0)
+    emb, mask = prepare_prefix_embeds(uv_params, cfg, conds, jnp.asarray(mat),
+                                      lens, P)
+    bc, bl = generate_adaptive(uv_params, cfg, dims, emb, mask,
+                               jax.random.PRNGKey(0), max_new_tokens=12,
+                               sampling=s, dtype=jnp.float32, spans=(6,))
+    for i, t in enumerate(texts):
+        e1, m1 = prepare_prefix_embeds(uv_params, cfg, conds[i:i + 1],
+                                       jnp.asarray(mat[i:i + 1]), lens[i:i + 1], P)
+        c1, l1 = generate_adaptive(uv_params, cfg, dims, e1, m1,
+                                   jax.random.PRNGKey(9), max_new_tokens=12,
+                                   sampling=s, dtype=jnp.float32, spans=(6,))
+        np.testing.assert_array_equal(np.asarray(bc[i]), np.asarray(c1[0]))
+        assert int(bl[i]) == int(l1[0])
+
+
 def test_generate_adaptive_matches_generate(uv_params, dims):
     """Growing-cache decode must be token-identical to the fixed-cache path."""
     from indextts_tpu.engine.decode import generate_adaptive

@@ -154,3 +154,22 @@ def test_e2e_streaming(tts, model_dir):
     chunks = list(gen)
     assert len(chunks) >= 2  # at least wav + silence
     assert all(isinstance(c, np.ndarray) for c in chunks)
+
+
+def test_e2e_batched_segments(tts, model_dir):
+    """Multi-segment text goes through the batched decode path and produces
+    the same per-segment audio lengths as the sequential path (greedy)."""
+    p = os.path.join(model_dir, "prompt.wav")
+    text = "hello world . the cat . hello ."
+    kw = dict(spk_audio_prompt=p, text=text, output_path=None,
+              max_mel_tokens=8, num_beams=1, do_sample=False,
+              max_text_tokens_per_segment=4)
+    sr_b, wav_b = tts.infer(**kw)
+    try:
+        tts.cfg.engine.__dict__["batch_segments"] = False
+        sr_s, wav_s = tts.infer(**kw)
+    finally:
+        tts.cfg.engine.__dict__["batch_segments"] = True
+    assert sr_b == sr_s
+    # greedy codes identical row-wise -> identical segment lengths
+    assert wav_b.shape == wav_s.shape
