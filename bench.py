@@ -128,7 +128,7 @@ def main():
         for attempt in range(2):
             tts._rng = jax.random.PRNGKey(0)
             t0 = time.perf_counter()
-            gen = tts.infer(spk_audio_prompt=prompt, text=text,
+            gen = tts.infer(spk_audio_prompt=prompt, text=text_long,
                             output_path=None, max_mel_tokens=60,
                             min_new_tokens=59, num_beams=1,
                             stream_return=True, more_segment_before=8)

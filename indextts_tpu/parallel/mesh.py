@@ -38,6 +38,13 @@ def make_mesh(n_devices: Optional[int] = None, tp: Optional[int] = None,
             if n % cand == 0:
                 tp = cand
                 break
+    if n == 0:
+        raise ValueError("make_mesh: no devices available (requested "
+                         f"n_devices={n_devices})")
+    if tp <= 0 or n % tp != 0:
+        raise ValueError(
+            f"make_mesh: tp={tp} does not divide the device count {n}; "
+            f"pick tp from the divisors of {n}")
     dp = n // tp
     arr = np.asarray(devices).reshape(dp, tp)
     return Mesh(arr, axis_names=("dp", "tp"))
