@@ -1,22 +1,37 @@
-"""In-XLA beam search / beam sample for the AR decode engine.
+"""In-XLA batched beam search / beam sample for the AR decode engine.
 
 Replaces HF `_beam_search` / `_beam_sample`
 (`gpt/transformers_generation_utils.py:3325`) — the reference's *default*
 decode mode is num_beams=3 with do_sample=True (`infer_v2.py:526-534`).
 
-Semantics (matching HF BeamSearchScorer, early_stopping=False):
+Semantics (matching HF BeamSearchScorer, early_stopping=False), applied
+independently to every row of a (B, P, D) left-padded prefix batch:
 - beam_scores init [0, -inf, ...] so step one expands only beam 0
 - per step: log_softmax -> repetition penalty (processor) -> + beam score;
   deterministic mode takes top 2K of the flattened K*V candidates; sample mode
-  (do_sample=True) warps (temperature/top-k/top-p) and draws 2K Gumbel samples
+  (do_sample=True) warps (temperature/top-k/top-p), draws 2K Gumbel samples,
+  then re-sorts the 2K candidates by score descending (HF sorts sampled
+  candidates before BeamSearchScorer.process,
+  `transformers_generation_utils.py:3517`)
 - candidates scan in score order: an EOS candidate (from a top-K rank) closes
   a hypothesis; others fill the K live beam slots
-- termination: all hyp slots filled AND worst hyp >= best live beam score
-  (length_penalty=0 form), or max_new_tokens reached
-- finalize: live beams are force-closed as hypotheses; best hypothesis wins.
+- hypothesis scores are normalized by hyp-length**length_penalty where the
+  hyp length counts the fake prefix ids too ((P_true + 1 + step), matching
+  HF BeamHypotheses.add on the reference's fake input_ids)
+- per-row termination: all hyp slots filled AND worst hyp >= best live beam
+  score; a finished row's state freezes while other rows keep decoding
+- finalize: live beams of *unfinished* rows are force-closed as hypotheses
+  (HF finalize skips rows the scorer already marked done); best hyp wins.
 
-The KV cache carries a beam axis and is gathered per step (K is 3; the
-prefix region is identical across beams so the gather is cheap to schedule).
+The GPT runs on the flattened (B*K) batch — one decode program regardless of
+how many segments ride in the batch. The KV cache carries the B*K axis and is
+gathered per step (the prefix region is identical across a row's beams so the
+gather is cheap to schedule).
+
+The per-row RNG stream is `jax.random.split(rng, B)[b]` when `rng` is a
+single key; passing a batch of B keys (typed key array of shape (B,) or raw
+uint32 of shape (B, 2)) uses them per row directly, so a B-row batched call
+is token-identical to B single-row calls seeded with those keys.
 """
 
 from __future__ import annotations
@@ -28,8 +43,7 @@ import jax
 import jax.numpy as jnp
 
 from indextts_tpu.config import GPTConfig
-from indextts_tpu.engine.decode import (SamplingConfig, _embed_mel_token,
-                                        _min_len_mask)
+from indextts_tpu.engine.decode import SamplingConfig, _embed_mel_token
 from indextts_tpu.models.gpt.gpt2 import (GPT2Dims, gpt2_decode_step,
                                           gpt2_prefill, init_kv_cache)
 from indextts_tpu.models.gpt.unified_voice import mel_logits_from_hidden
@@ -40,6 +54,17 @@ from indextts_tpu.ops.sampling import (apply_repetition_penalty, apply_temperatu
 NEG = jnp.float32(-1e9)
 
 
+def _row_keys(rng, B: int):
+    """One PRNG key per batch row. A single key is split B ways; a batch of
+    keys (typed (B,) or raw uint32 (B, 2)) is used per row as-is."""
+    shp = tuple(jnp.shape(rng))
+    if jnp.issubdtype(rng.dtype, jax.dtypes.prng_key):
+        return rng if shp == (B,) else jax.random.split(rng.reshape(()), B)
+    if shp == (B, 2):
+        return rng
+    return jax.random.split(rng.reshape(2), B)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "dims", "max_new_tokens", "sampling", "dtype"))
@@ -48,45 +73,62 @@ def generate_beam(params: Params, cfg: GPTConfig, dims: GPT2Dims,
                   rng: jax.Array, max_new_tokens: int,
                   sampling: SamplingConfig = SamplingConfig(),
                   dtype=jnp.bfloat16) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Beam decode for a SINGLE input row (B=1 prefix).
+    """Beam decode for a batch of rows, K beams each.
 
-    Returns (codes (1, max_new_tokens), lengths (1,)) like generate().
+    prefix_embeds: (B, P, D) left-padded [pad][cond][text] embeddings
+    prefix_mask:   (B, P) bool (True = real content)
+    Returns (codes (B, max_new_tokens), lengths (B,)) like generate().
     """
     K = sampling.num_beams
     B, P, D = prefix_embeds.shape
-    assert B == 1, "beam decode expands one row into K beams"
     V = cfg.number_mel_codes
     S = P + 1 + max_new_tokens
     stop = cfg.stop_mel_token
     lp = sampling.length_penalty
+    L = max_new_tokens
 
-    # replicate prefix across beams
-    pe = jnp.broadcast_to(prefix_embeds.astype(dtype), (K, P, D))
-    pm = jnp.broadcast_to(prefix_mask, (K, P))
-    start_tok = jnp.full((K,), cfg.start_mel_token, jnp.int32)
-    seq = jnp.concatenate([pe, _embed_mel_token(params, start_tok, 0, dtype)[:, None, :]],
-                          axis=1)
-    seq_mask = jnp.concatenate([pm, jnp.ones((K, 1), bool)], axis=1)
-    kv = init_kv_cache(dims, K, S, dtype=dtype)
+    # HF normalizes hypothesis scores by the *unpadded* sequence length (the
+    # fake input_ids are P_true+1 long: all 1s + start_mel)
+    p_true = jnp.sum(prefix_mask, axis=1).astype(jnp.float32)  # (B,)
+
+    def norm(score, step, ptrue):
+        if lp == 0:
+            return score
+        return score / jnp.maximum(
+            (ptrue + 1.0 + (step + 1).astype(jnp.float32)) ** lp, 1e-9)
+
+    # replicate prefix across beams -> GPT batch axis is B*K
+    pe = jnp.repeat(prefix_embeds.astype(dtype), K, axis=0)      # (B*K, P, D)
+    pm = jnp.repeat(prefix_mask, K, axis=0)                      # (B*K, P)
+    start_tok = jnp.full((B * K,), cfg.start_mel_token, jnp.int32)
+    seq = jnp.concatenate(
+        [pe, _embed_mel_token(params, start_tok, 0, dtype)[:, None, :]], axis=1)
+    seq_mask = jnp.concatenate([pm, jnp.ones((B * K, 1), bool)], axis=1)
+    kv = init_kv_cache(dims, B * K, S, dtype=dtype)
     hidden, kv = gpt2_prefill(params["gpt"], seq, dims, seq_mask, kv)
-    logits0 = mel_logits_from_hidden(params, hidden[:, -1, :])
+    logits0 = mel_logits_from_hidden(params, hidden[:, -1, :]).reshape(B, K, V)
 
-    kv_valid = jnp.zeros((K, S), bool)
+    kv_valid = jnp.zeros((B * K, S), bool)
     kv_valid = jax.lax.dynamic_update_slice(kv_valid, seq_mask, (0, 0))
 
-    counts0 = jnp.zeros((K, V), jnp.int32)
-    counts0 = counts0.at[:, 1].add(P)
-    counts0 = counts0.at[:, cfg.start_mel_token].add(1)
+    counts0 = jnp.zeros((B, K, V), jnp.int32)
+    counts0 = counts0.at[:, :, 1].add(P)
+    counts0 = counts0.at[:, :, cfg.start_mel_token].add(1)
 
-    beam_scores0 = jnp.concatenate([jnp.zeros((1,)), jnp.full((K - 1,), NEG)])
+    beam_scores0 = jnp.broadcast_to(
+        jnp.concatenate([jnp.zeros((1,)), jnp.full((K - 1,), NEG)]), (B, K))
 
-    tokens0 = jnp.full((K, max_new_tokens), stop, jnp.int32)
-    hyp_scores0 = jnp.full((K,), -jnp.inf, jnp.float32)
-    hyp_tokens0 = jnp.full((K, max_new_tokens), stop, jnp.int32)
-    hyp_lens0 = jnp.zeros((K,), jnp.int32)
+    tokens0 = jnp.full((B, K, L), stop, jnp.int32)
+    hyp_scores0 = jnp.full((B, K), -jnp.inf, jnp.float32)
+    hyp_tokens0 = jnp.full((B, K, L), stop, jnp.int32)
+    hyp_lens0 = jnp.zeros((B, K), jnp.int32)
+    row_keys0 = _row_keys(rng, B)                                 # (B,) keys
+    row_done0 = jnp.zeros((B,), bool)
+
+    # ---- per-row scorer pieces (vmapped over B) ----------------------------
 
     def select_candidates(scores_kv, rng_step):
-        """scores_kv (K, V) combined scores -> (2K,) (beam, token, score)."""
+        """scores_kv (K, V) combined scores -> 2K (beam, token, score)."""
         flat = scores_kv.reshape(-1)
         if sampling.do_sample:
             g = -jnp.log(-jnp.log(
@@ -94,6 +136,11 @@ def generate_beam(params: Params, cfg: GPTConfig, dims: GPT2Dims,
             order_scores = jnp.where(flat <= NEG / 2, NEG, flat + g)
             _, idx = jax.lax.top_k(order_scores, 2 * K)
             cand_scores = flat[idx]
+            # HF sorts the 2K sampled candidates by score descending before
+            # BeamSearchScorer.process (transformers_generation_utils.py:3517)
+            order = jnp.argsort(-cand_scores)
+            idx = idx[order]
+            cand_scores = cand_scores[order]
         else:
             cand_scores, idx = jax.lax.top_k(flat, 2 * K)
         return idx // V, idx % V, cand_scores
@@ -108,7 +155,7 @@ def generate_beam(params: Params, cfg: GPTConfig, dims: GPT2Dims,
             combined = apply_top_p(combined, sampling.top_p)
         return combined
 
-    def process(cand_beams, cand_toks, cand_scores, step, hyp_scores,
+    def process(cand_beams, cand_toks, cand_scores, step, ptrue, hyp_scores,
                 hyp_tokens, hyp_lens, tokens):
         """BeamSearchScorer.process: fill K live slots, close EOS hyps."""
         is_eos = cand_toks == stop
@@ -118,8 +165,7 @@ def generate_beam(params: Params, cfg: GPTConfig, dims: GPT2Dims,
 
         def add_hyp(i, state):
             hs, ht, hl = state
-            score = cand_scores[i] / jnp.maximum(
-                (step + 1).astype(jnp.float32) ** lp, 1e-9)
+            score = norm(cand_scores[i], step, ptrue)
             worst = jnp.argmin(hs)
             seq_i = tokens[cand_beams[i]]
             take = eos_ok[i] & (score > hs[worst])
@@ -132,9 +178,8 @@ def generate_beam(params: Params, cfg: GPTConfig, dims: GPT2Dims,
             0, 2 * K, add_hyp, (hyp_scores, hyp_tokens, hyp_lens))
 
         # live slots: first K non-eos candidates in order
-        live_rank = jnp.cumsum((~is_eos).astype(jnp.int32)) - 1  # rank among non-eos
+        live_rank = jnp.cumsum((~is_eos).astype(jnp.int32)) - 1
         slot_of_cand = jnp.where(~is_eos, live_rank, 2 * K)
-        # for each slot k, find candidate index
         cand_of_slot = jnp.argmax(slot_of_cand[None, :] == jnp.arange(K)[:, None],
                                   axis=1)
         new_beams = cand_beams[cand_of_slot]
@@ -147,77 +192,124 @@ def generate_beam(params: Params, cfg: GPTConfig, dims: GPT2Dims,
         new_beams = jnp.where(valid_slot, new_beams, cand_beams[fallback])
         new_toks = jnp.where(valid_slot, new_toks, stop)
         new_scores = jnp.where(valid_slot, new_scores, NEG)
-        return (new_beams, new_toks, new_scores, hyp_scores, hyp_tokens, hyp_lens)
+        return (new_beams, new_toks, new_scores, hyp_scores, hyp_tokens,
+                hyp_lens)
+
+    v_select = jax.vmap(select_candidates)
+    v_scores = jax.vmap(step_scores)
+    v_process = jax.vmap(process, in_axes=(0, 0, 0, None, 0, 0, 0, 0, 0))
+    v_split = jax.vmap(jax.random.split, in_axes=(0, None))
+
+    def min_len_mask3(logits, step):
+        if sampling.min_new_tokens <= 0:
+            return logits
+        return jnp.where(step < sampling.min_new_tokens,
+                         logits.at[:, :, stop].set(-jnp.inf), logits)
+
+    def row_is_done(beam_scores, hyp_scores, step):
+        """HF BeamSearchScorer.is_done (early_stopping=False)."""
+        n_full = jnp.all(jnp.isfinite(hyp_scores), axis=1)
+        if lp == 0:
+            best_live = jnp.max(beam_scores, axis=1)
+        else:
+            # HF compares against best-possible: live score at max length
+            best_live = norm(jnp.max(beam_scores, axis=1),
+                             jnp.int32(max_new_tokens - 1), p_true)
+        worst_hyp = jnp.min(hyp_scores, axis=1)
+        return n_full & (worst_hyp >= best_live)
+
+    def advance(step, combined, rkeys, beam_scores, hyp_scores, hyp_tokens,
+                hyp_lens, tokens, counts, kv, kv_valid, row_done):
+        """One scorer step over all rows; freezes rows already done."""
+        rk = v_split(rkeys, 2)                      # (B, 2) keys
+        rkeys, rs = rk[:, 0], rk[:, 1]
+        cb, ct, cs = v_select(combined, rs)
+        (nb, nt, ns, hs, ht, hl) = v_process(cb, ct, cs, step, p_true,
+                                             hyp_scores, hyp_tokens, hyp_lens,
+                                             tokens)
+        # freeze finished rows: identity reorder, stop token, old scores/hyps
+        ident = jnp.broadcast_to(jnp.arange(K)[None, :], (B, K))
+        nb = jnp.where(row_done[:, None], ident, nb)
+        nt = jnp.where(row_done[:, None], stop, nt)
+        ns = jnp.where(row_done[:, None], beam_scores, ns)
+        hs = jnp.where(row_done[:, None], hyp_scores, hs)
+        ht = jnp.where(row_done[:, None, None], hyp_tokens, ht)
+        hl = jnp.where(row_done[:, None], hyp_lens, hl)
+
+        # reorder per-row beam state
+        def reorder(t, c, nb_r, nt_r, s):
+            t = t[nb_r].at[:, s].set(nt_r)
+            c = c[nb_r].at[jnp.arange(K), nt_r].add(1)
+            return t, c
+
+        tokens, counts = jax.vmap(reorder, in_axes=(0, 0, 0, 0, None))(
+            tokens, counts, nb, nt, step)
+        gidx = (jnp.arange(B)[:, None] * K + nb).reshape(-1)
+        kv = {"k": kv["k"][:, gidx], "v": kv["v"][:, gidx]}
+        kv_valid = kv_valid[gidx]
+        row_done = row_done | row_is_done(ns, hs, step)
+        return (rkeys, nb, nt, ns, hs, ht, hl, tokens, counts, kv, kv_valid,
+                row_done)
+
+    # --- first step (expands beam 0 only of every row) ----------------------
+    logits0 = min_len_mask3(logits0, 0)
+    combined0 = v_scores(logits0, counts0, beam_scores0)
+    (row_keys, _, nt0, beam_scores, hyp_scores, hyp_tokens, hyp_lens, tokens,
+     counts, kv, kv_valid, row_done) = advance(
+        jnp.int32(0), combined0, row_keys0, beam_scores0, hyp_scores0,
+        hyp_tokens0, hyp_lens0, tokens0, counts0, kv, kv_valid, row_done0)
 
     def cond(state):
-        (step, beam_scores, hyp_scores, *_rest) = state
-        n_hyps_full = jnp.all(jnp.isfinite(hyp_scores))
-        best_live = jnp.max(beam_scores) / jnp.maximum(
-            jnp.float32(max_new_tokens) ** lp, 1e-9) if lp != 0 else jnp.max(beam_scores)
-        worst_hyp = jnp.min(hyp_scores)
-        done = n_hyps_full & (worst_hyp >= best_live)
-        return jnp.logical_and(step < max_new_tokens, ~done)
+        (step, _, beam_scores, hyp_scores, *_rest, row_done) = state
+        return jnp.logical_and(step < max_new_tokens, ~jnp.all(row_done))
 
     def body(state):
-        (step, beam_scores, hyp_scores, hyp_tokens, hyp_lens, tokens, counts,
-         kv, kv_valid, prev_tok, rng) = state
-        # embed prev token (pos quirk: token i gets mel pos i+2; prev is i=step-1)
-        x = _embed_mel_token(params, prev_tok, step + 1, dtype)
+        (step, rkeys, beam_scores, hyp_scores, hyp_tokens, hyp_lens, tokens,
+         counts, kv, kv_valid, prev_tok, row_done) = state
+        # embed prev token (pos quirk: token i gets mel pos i+2; prev is
+        # i=step-1)
+        x = _embed_mel_token(params, prev_tok.reshape(B * K), step + 1, dtype)
         pos = P + 1 + step
         kv_valid = kv_valid.at[:, pos].set(True)
         h, kv = gpt2_decode_step(params["gpt"], x, dims, pos, kv, kv_valid)
-        logits = mel_logits_from_hidden(params, h)
-        logits = _min_len_mask(logits, stop, step, sampling.min_new_tokens)
-        combined = step_scores(logits, counts, beam_scores)
-        rng, r = jax.random.split(rng)
-        cb, ct, cs = select_candidates(combined, r)
-        (new_beams, new_toks, new_scores, hyp_scores, hyp_tokens,
-         hyp_lens) = process(cb, ct, cs, step, hyp_scores, hyp_tokens,
-                             hyp_lens, tokens)
-        # reorder beam state
-        tokens = tokens[new_beams].at[:, step].set(new_toks)
-        counts = counts[new_beams].at[jnp.arange(K), new_toks].add(1)
-        kv = {"k": kv["k"][:, new_beams], "v": kv["v"][:, new_beams]}
-        kv_valid = kv_valid[new_beams]
-        return (step + 1, new_scores, hyp_scores, hyp_tokens, hyp_lens, tokens,
-                counts, kv, kv_valid, new_toks, rng)
+        logits = mel_logits_from_hidden(params, h).reshape(B, K, V)
+        logits = min_len_mask3(logits, step)
+        combined = v_scores(logits, counts, beam_scores)
+        (rkeys, _, new_toks, beam_scores, hyp_scores, hyp_tokens, hyp_lens,
+         tokens, counts, kv, kv_valid, row_done) = advance(
+            step, combined, rkeys, beam_scores, hyp_scores, hyp_tokens,
+            hyp_lens, tokens, counts, kv, kv_valid, row_done)
+        return (step + 1, rkeys, beam_scores, hyp_scores, hyp_tokens, hyp_lens,
+                tokens, counts, kv, kv_valid, new_toks, row_done)
 
-    # --- first step (expands beam 0 only) ---
-    logits0 = _min_len_mask(logits0, stop, 0, sampling.min_new_tokens)
-    combined0 = step_scores(logits0, counts0, beam_scores0)
-    rng, r0 = jax.random.split(rng)
-    cb0, ct0, cs0 = select_candidates(combined0, r0)
-    (nb0, nt0, ns0, hyp_scores0, hyp_tokens0, hyp_lens0) = process(
-        cb0, ct0, cs0, jnp.int32(0), hyp_scores0, hyp_tokens0, hyp_lens0,
-        tokens0)
-    tokens = tokens0[nb0].at[:, 0].set(nt0)
-    counts = counts0[nb0].at[jnp.arange(K), nt0].add(1)
-    kv = {"k": kv["k"][:, nb0], "v": kv["v"][:, nb0]}
-    kv_valid = kv_valid[nb0]
+    state = (jnp.int32(1), row_keys, beam_scores, hyp_scores, hyp_tokens,
+             hyp_lens, tokens, counts, kv, kv_valid, nt0, row_done)
+    (step, _, beam_scores, hyp_scores, hyp_tokens, hyp_lens, tokens, _, _, _,
+     _, row_done) = jax.lax.while_loop(cond, body, state)
 
-    state = (jnp.int32(1), ns0, hyp_scores0, hyp_tokens0, hyp_lens0, tokens,
-             counts, kv, kv_valid, nt0, rng)
-    (step, beam_scores, hyp_scores, hyp_tokens, hyp_lens, tokens, _, _, _,
-     _, _) = jax.lax.while_loop(cond, body, state)
+    # finalize: close remaining live beams of rows the scorer has NOT marked
+    # done (HF finalize skips done rows)
+    final_scores = norm(beam_scores, step - 1, p_true[:, None]) if lp != 0 \
+        else beam_scores
 
-    # finalize: close remaining live beams at current length
-    final_scores = beam_scores / jnp.maximum(
-        step.astype(jnp.float32) ** lp, 1e-9) if lp != 0 else beam_scores
+    def close_row(fs, tk, hs, ht, hl, done):
+        def close_beam(k, st):
+            hs, ht, hl = st
+            worst = jnp.argmin(hs)
+            take = (~done) & (fs[k] > hs[worst])
+            hs = jnp.where(take, hs.at[worst].set(fs[k]), hs)
+            ht = jnp.where(take, ht.at[worst].set(tk[k]), ht)
+            hl = jnp.where(take, hl.at[worst].set(step), hl)
+            return hs, ht, hl
 
-    def close_beam(k, st):
-        hs, ht, hl = st
-        worst = jnp.argmin(hs)
-        take = final_scores[k] > hs[worst]
-        hs = jnp.where(take, hs.at[worst].set(final_scores[k]), hs)
-        ht = jnp.where(take, ht.at[worst].set(tokens[k]), ht)
-        hl = jnp.where(take, hl.at[worst].set(step), hl)
-        return hs, ht, hl
+        return jax.lax.fori_loop(0, K, close_beam, (hs, ht, hl))
 
-    hyp_scores, hyp_tokens, hyp_lens = jax.lax.fori_loop(
-        0, K, close_beam, (hyp_scores, hyp_tokens, hyp_lens))
-    best = jnp.argmax(hyp_scores)
-    out_tokens = hyp_tokens[best][None, :]
-    out_len = hyp_lens[best][None]
+    hyp_scores, hyp_tokens, hyp_lens = jax.vmap(close_row)(
+        final_scores, tokens, hyp_scores, hyp_tokens, hyp_lens, row_done)
+    best = jnp.argmax(hyp_scores, axis=1)                        # (B,)
+    out_tokens = jnp.take_along_axis(hyp_tokens, best[:, None, None],
+                                     axis=1)[:, 0]
+    out_len = jnp.take_along_axis(hyp_lens, best[:, None], axis=1)[:, 0]
     # stop-pad past the hypothesis length
     arange = jnp.arange(max_new_tokens)[None, :]
     out_tokens = jnp.where(arange < out_len[:, None], out_tokens, stop)

@@ -87,3 +87,59 @@ def test_beam_sample_runs(setup):
                                 jax.random.PRNGKey(1), max_new_tokens=8,
                                 sampling=s, dtype=jnp.float32)
     assert np.asarray(codes).shape == (1, 8)
+
+
+@pytest.fixture(scope="module")
+def setup_batch():
+    """Three rows with different text lengths (left-padded to one bucket)."""
+    params = init_unified_voice(InitRng(3), TINY)
+    dims = gpt2.GPT2Dims(TINY.layers, TINY.model_dim, TINY.heads)
+    texts = [[5, 6, 7, 8], [9, 10, 11], [12, 13]]
+    P = 9
+    embs, masks = [], []
+    for t in texts:
+        ids = jnp.asarray([t + [0] * (4 - len(t))], jnp.int32)
+        conds = jnp.zeros((1, 3, TINY.model_dim), jnp.float32)
+        e, m = prepare_prefix_embeds(params, TINY, conds, ids,
+                                     jnp.asarray([len(t)]), P)
+        embs.append(e)
+        masks.append(m)
+    emb = jnp.concatenate(embs, axis=0)
+    mask = jnp.concatenate(masks, axis=0)
+    return params, dims, emb, mask, embs, masks
+
+
+def test_beam_batched_matches_sequential_greedy(setup_batch):
+    """Batched (B=3) deterministic beam row b == running row b alone."""
+    params, dims, emb, mask, embs, masks = setup_batch
+    s = SamplingConfig(do_sample=False, num_beams=3, repetition_penalty=1.0)
+    bc, bl = generate_beam(params, TINY, dims, emb, mask,
+                           jax.random.PRNGKey(0), max_new_tokens=8,
+                           sampling=s, dtype=jnp.float32)
+    bc, bl = np.asarray(bc), np.asarray(bl)
+    for b in range(3):
+        sc, sl = generate_beam(params, TINY, dims, embs[b], masks[b],
+                               jax.random.PRNGKey(0), max_new_tokens=8,
+                               sampling=s, dtype=jnp.float32)
+        np.testing.assert_array_equal(bc[b], np.asarray(sc)[0],
+                                      err_msg=f"row {b}")
+        assert bl[b] == int(np.asarray(sl)[0]), f"row {b} length"
+
+
+def test_beam_batched_matches_sequential_sampled(setup_batch):
+    """Batched beam-sample row b == single-row run seeded with that row's
+    key (the default num_beams=3 do_sample=True serving path)."""
+    params, dims, emb, mask, embs, masks = setup_batch
+    s = SamplingConfig(do_sample=True, num_beams=3, temperature=0.9,
+                       top_k=10, top_p=0.95, repetition_penalty=2.0)
+    keys = jax.random.split(jax.random.PRNGKey(7), 3)
+    bc, bl = generate_beam(params, TINY, dims, emb, mask, keys,
+                           max_new_tokens=8, sampling=s, dtype=jnp.float32)
+    bc, bl = np.asarray(bc), np.asarray(bl)
+    for b in range(3):
+        sc, sl = generate_beam(params, TINY, dims, embs[b], masks[b],
+                               keys[b:b + 1], max_new_tokens=8, sampling=s,
+                               dtype=jnp.float32)
+        np.testing.assert_array_equal(bc[b], np.asarray(sc)[0],
+                                      err_msg=f"row {b}")
+        assert bl[b] == int(np.asarray(sl)[0]), f"row {b} length"
