@@ -64,60 +64,6 @@ def de_tokenize_by_cjk_char(line: str, do_lower_case: bool = False) -> str:
 
 
 # ---------------------------------------------------------------------------
-# lightweight english number normalization (fallback when tn/wetext missing)
-# ---------------------------------------------------------------------------
-
-_ONES = ["zero", "one", "two", "three", "four", "five", "six", "seven", "eight",
-         "nine", "ten", "eleven", "twelve", "thirteen", "fourteen", "fifteen",
-         "sixteen", "seventeen", "eighteen", "nineteen"]
-_TENS = ["", "", "twenty", "thirty", "forty", "fifty", "sixty", "seventy",
-         "eighty", "ninety"]
-
-
-def _num_to_words(n: int) -> str:
-    if n < 0:
-        return "minus " + _num_to_words(-n)
-    if n < 20:
-        return _ONES[n]
-    if n < 100:
-        return _TENS[n // 10] + ("" if n % 10 == 0 else " " + _ONES[n % 10])
-    if n < 1000:
-        rest = n % 100
-        return _ONES[n // 100] + " hundred" + ("" if rest == 0 else " " + _num_to_words(rest))
-    for div, name in ((10 ** 12, "trillion"), (10 ** 9, "billion"),
-                      (10 ** 6, "million"), (10 ** 3, "thousand")):
-        if n >= div:
-            rest = n % div
-            return _num_to_words(n // div) + f" {name}" + ("" if rest == 0 else " " + _num_to_words(rest))
-    return str(n)
-
-
-class _FallbackEnNormalizer:
-    """Digits/percent/currency to words; used only when tn/wetext is absent."""
-
-    def normalize(self, text: str) -> str:
-        def repl_decimal(m):
-            whole, frac = m.group(1), m.group(2)
-            digits = " ".join(_ONES[int(d)] for d in frac)
-            return f"{_num_to_words(int(whole))} point {digits}"
-
-        text = re.sub(r"(\d+)\.(\d+)", repl_decimal, text)
-        text = re.sub(r"(\d+)%", lambda m: _num_to_words(int(m.group(1))) + " percent", text)
-        text = re.sub(r"\$(\d+)", lambda m: _num_to_words(int(m.group(1))) + " dollars", text)
-        text = re.sub(r"(\d+)", lambda m: _num_to_words(int(m.group(1))), text)
-        return text
-
-
-class _FallbackZhNormalizer:
-    """Chinese digits spelled per-char; minimal stand-in for WeTextProcessing."""
-
-    _ZH_DIGITS = "零一二三四五六七八九"
-
-    def normalize(self, text: str) -> str:
-        return re.sub(r"\d", lambda m: self._ZH_DIGITS[int(m.group(0))], text)
-
-
-# ---------------------------------------------------------------------------
 # normalizer (reference `front.py:16-397`)
 # ---------------------------------------------------------------------------
 
@@ -149,30 +95,17 @@ class TextNormalizer:
 
     # -- loading -------------------------------------------------------------
     def load(self):
+        """The reference loads the pynini-backed WeTextProcessing
+        normalizers here (`indextts/utils/front.py:115-138`); this build
+        ships its own pure-Python ports (`normalize_zh.py`, `normalize_en.py`)
+        with the same `.normalize()` surface — no native FST dependency."""
         if self.zh_normalizer is not None and self.en_normalizer is not None:
             return
-        try:
-            import platform
+        from indextts_tpu.text.normalize_en import EnNormalizer
+        from indextts_tpu.text.normalize_zh import ZhNormalizer
 
-            if platform.system() != "Linux":
-                from wetext import Normalizer  # type: ignore
-
-                self.zh_normalizer = Normalizer(remove_erhua=False, lang="zh", operator="tn")
-                self.en_normalizer = Normalizer(lang="en", operator="tn")
-            else:
-                from tn.chinese.normalizer import Normalizer as NormalizerZh  # type: ignore
-                from tn.english.normalizer import Normalizer as NormalizerEn  # type: ignore
-
-                cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                         "tagger_cache")
-                os.makedirs(cache_dir, exist_ok=True)
-                self.zh_normalizer = NormalizerZh(
-                    cache_dir=cache_dir, remove_interjections=False,
-                    remove_erhua=False, overwrite_cache=False)
-                self.en_normalizer = NormalizerEn(overwrite_cache=False)
-        except ImportError:
-            self.zh_normalizer = _FallbackZhNormalizer()
-            self.en_normalizer = _FallbackEnNormalizer()
+        self.zh_normalizer = ZhNormalizer()
+        self.en_normalizer = EnNormalizer()
 
     # -- language routing ----------------------------------------------------
     @staticmethod
