@@ -381,13 +381,29 @@ class IndexTTS2:
                           ref_mel, ref_len, style, rng,
                           code_bucket: int, mel_bucket: int, prompt_bucket: int,
                           n_timesteps: int = 25):
-            """[S] codes -> target-region mel, all on device."""
+            """[S] codes -> target-region mel, all on device.
+
+            Batch-generic: `codes`/`code_len`/`text_ids`/`text_len` may carry
+            B segment rows; the shared speaker tensors (conds, emovec, prompt
+            caches, style) are (1, ...) and broadcast — so the whole multi-
+            segment synthesis (DiT 25xCFG-2 Euler + heads) runs as ONE XLA
+            program with DiT batch 2B instead of B sequential dispatches.
+            """
+            B = codes.shape[0]
+            cond_latents = jnp.broadcast_to(
+                cond_latents, (B,) + cond_latents.shape[1:])
+            emovec = jnp.broadcast_to(emovec, (B,) + emovec.shape[1:])
+            prompt_cond = jnp.broadcast_to(
+                prompt_cond, (B,) + prompt_cond.shape[1:])
+            ref_mel = jnp.broadcast_to(ref_mel, (B,) + ref_mel.shape[1:])
+            style = jnp.broadcast_to(style, (B,) + style.shape[1:])
+            prompt_len = jnp.broadcast_to(prompt_len, (B,))
             # teacher-forced GPT latents (infer_v2.py:628-639)
             latent = uv.forward_latents(gpt_params, cfg.gpt, cond_latents, emovec,
                                         text_ids, text_len, codes, code_len,
-                                        dtype=dtype)  # (1, Lm+1, D)
+                                        dtype=dtype)  # (B, Lm+1, D)
             latent = latent[:, :code_bucket]
-            latent = gpt_layer_forward(s2mel_params, latent)  # (1, Cb, 1024)
+            latent = gpt_layer_forward(s2mel_params, latent)  # (B, Cb, 1024)
             s_infer = repcodec_vq2emb(codec_params, codes[:, :code_bucket])
             s_infer = s_infer + latent
             target_len = (code_len.astype(jnp.float32) * IndexTTS2.MEL_PER_CODE
@@ -398,9 +414,9 @@ class IndexTTS2:
                                    code_len, target_len, out_size=mel_bucket,
                                    features=s_infer)
             # concat [prompt_cond(ref region)][cond(target)] with dynamic
-            # prompt_len: build by scatter into a (1, Pb+Mb, C) buffer
+            # prompt_len: build by scatter into a (B, Pb+Mb, C) buffer
             total = prompt_bucket + mel_bucket
-            buf = jnp.zeros((1, total, cond.shape[-1]), cond.dtype)
+            buf = jnp.zeros((B, total, cond.shape[-1]), cond.dtype)
             buf = jax.lax.dynamic_update_slice(buf, prompt_cond[:, :prompt_bucket],
                                                (0, 0, 0))
             # place cond at offset prompt_len via gather-shift
@@ -412,7 +428,7 @@ class IndexTTS2:
             cat_cond = jnp.where(in_tgt[:, :, None] & ~in_prompt[:, :, None],
                                  gathered, buf)
             x_lens = prompt_len + target_len
-            prompt_mel = jnp.zeros((1, total, cfg.s2mel.DiT.in_channels),
+            prompt_mel = jnp.zeros((B, total, cfg.s2mel.DiT.in_channels),
                                    jnp.float32)
             prompt_mel = jax.lax.dynamic_update_slice(
                 prompt_mel, ref_mel[:, :prompt_bucket].astype(jnp.float32), (0, 0, 0))
@@ -663,7 +679,7 @@ class IndexTTS2:
         # loop is HBM-bound on weight reads, so B segments decode in roughly
         # the time of one (new capability vs the reference's sequential loop).
         batched = (eng.batch_segments and len(segments) > 1
-                   and sampling.num_beams == 1 and not stream_return)
+                   and not stream_return)
         batch_codes = batch_code_lens = None
         cond_latents = emovec = None
         if batched:
@@ -687,53 +703,115 @@ class IndexTTS2:
             pe, pm = self._jit_prefix_batch(
                 self.gpt_params, cond_latents, emovec, jnp.asarray(text_mat),
                 jnp.asarray(seg_tlens), prefix_len_all)
-            batch_codes, batch_code_lens = generate_adaptive(
+            # beams > 1 -> batched (B, K) beam search; otherwise the
+            # adaptive-cache sampling loop
+            batch_decode_fn = (generate_beam if sampling.num_beams > 1
+                               else generate_adaptive)
+            batch_codes, batch_code_lens = batch_decode_fn(
                 self.gpt_params, self.cfg.gpt, self.gpt_dims, pe, pm,
                 self._next_rng(), max_new_tokens=max_mel_tokens,
                 sampling=sampling, dtype=self.dtype)
             batch_code_lens = np.asarray(batch_code_lens)
             gpt_gen_time += time.perf_counter() - m_start
 
+            # [SB] batched synthesis: ONE synth program (DiT batch 2B) and ONE
+            # vocoder call for all segments, instead of B sequential dispatches
+            # (TPU analogue of the reference's `bucket_segments`,
+            # `/root/reference/indextts/infer.py:191-247`)
+            m_start = time.perf_counter()
+            clens_all = np.maximum(batch_code_lens, 1).astype(np.int32)
+            cb_all = pick_bucket(int(clens_all.max()), eng.mel_len_buckets)
+            if batch_codes.shape[1] >= cb_all:
+                codes_all = batch_codes[:, :cb_all]
+            else:
+                codes_all = jnp.pad(
+                    batch_codes, ((0, 0), (0, cb_all - batch_codes.shape[1])),
+                    constant_values=self.stop_mel_token)
+            mel_bucket_all = pick_bucket(
+                int(clens_all.max() * self.MEL_PER_CODE) + 1,
+                eng.mel_len_buckets)
+            prompt_bucket = spk["prompt_cond"].shape[1]
+            vc_all, _ = self._jit_synth(
+                self.gpt_params, self.s2mel_params, self.codec_params,
+                cond_latents, emovec,
+                jnp.asarray(text_mat), jnp.asarray(seg_tlens, np.int32),
+                codes_all, jnp.asarray(clens_all),
+                spk["prompt_cond"], jnp.asarray([spk["ref_len"]]),
+                spk["ref_mel"], jnp.asarray([spk["ref_len"]]), spk["style"],
+                self._next_rng(), code_bucket=cb_all,
+                mel_bucket=mel_bucket_all, prompt_bucket=prompt_bucket)
+            if self.stage_sync:
+                np.asarray(vc_all[0, 0, 0])
+            s2mel_time += time.perf_counter() - m_start
+            m_start = time.perf_counter()
+            tlen_all = (clens_all.astype(np.float32)
+                        * np.float32(self.MEL_PER_CODE)).astype(np.int32)
+            wav_all = self._jit_vocoder(self.bigvgan_params, vc_all,
+                                        jnp.asarray(tlen_all))
+            batch_wav_np = np.asarray(wav_all, np.float32)  # one readback
+            bigvgan_time += time.perf_counter() - m_start
+
         for seg_idx, sent in enumerate(segments):
             self._set_gr_progress(0.2 + 0.7 * seg_idx / len(segments),
                                   f"speech synthesis {seg_idx + 1}/{len(segments)}...")
             ids = seg_ids[seg_idx]
             tlen = seg_tlens[seg_idx]
+
+            if batched:
+                # decode + synthesis already ran as one batch; slice this
+                # segment's rows out of the host-side results
+                code_lens_np = batch_code_lens[seg_idx:seg_idx + 1]
+                if not has_warned and int(code_lens_np[0]) >= max_mel_tokens:
+                    warnings.warn(
+                        f"WARN: generation stopped due to exceeding `max_mel_tokens` "
+                        f"({max_mel_tokens}). Consider reducing "
+                        f"`max_text_tokens_per_segment`({max_text_tokens_per_segment}) "
+                        f"or increasing `max_mel_tokens`.", RuntimeWarning)
+                    has_warned = True
+                clen = max(int(code_lens_np[0]), 1)
+                if verbose:
+                    print(f"segment {seg_idx}: text_tokens={tlen}, codes={clen}")
+                n_samples = int(np.float32(clen)
+                                * np.float32(self.MEL_PER_CODE)) * 256
+                wav_np = batch_wav_np[seg_idx:seg_idx + 1, :n_samples]
+                wav_np = np.clip(32767 * wav_np, -32767.0, 32767.0)
+                if verbose:
+                    print(f"wav shape: {wav_np.shape}", "min:", wav_np.min(),
+                          "max:", wav_np.max())
+                wavs.append(wav_np)
+                continue
+
             tb = pick_bucket(tlen, eng.text_buckets)
             text_ids = np.zeros((1, tb), np.int32)
             text_ids[0, :tlen] = ids
 
             m_start = time.perf_counter()
-            if batched:
-                codes = batch_codes[seg_idx:seg_idx + 1]
-                code_lens_np = batch_code_lens[seg_idx:seg_idx + 1]
-            else:
-                # [E] prefix
-                prefix_len = n_cond + tb + 2
-                override = (emovec_mat if emovec_mat is not None
-                            else jnp.zeros((1, self.cfg.gpt.model_dim), jnp.float32))
-                cond_latents, emovec, prefix_embeds, prefix_mask = self._jit_prefix(
-                    self.gpt_params, spk["spk_cond_emb"], jnp.asarray([spk["spk_len"]]),
-                    emo_cond_emb, jnp.asarray([emo_len]), jnp.asarray(float(emo_alpha)),
-                    override, jnp.asarray(False),  # override merged below
-                    jnp.asarray(text_ids), jnp.asarray([tlen]), prefix_len)
-                if emo_vector is not None:
-                    # emovec = emovec_mat + (1 - sum(w)) * merged (infer_v2.py:568-570)
-                    emovec = emovec_mat + (1.0 - weight_sum) * emovec
-                    conds = uv.build_conds_latent(self.gpt_params, cond_latents, emovec)
-                    prefix_embeds, prefix_mask = uv.prepare_prefix_embeds(
-                        self.gpt_params, self.cfg.gpt, conds, jnp.asarray(text_ids),
-                        jnp.asarray([tlen]), prefix_len, dtype=self.dtype)
+            # [E] prefix
+            prefix_len = n_cond + tb + 2
+            override = (emovec_mat if emovec_mat is not None
+                        else jnp.zeros((1, self.cfg.gpt.model_dim), jnp.float32))
+            cond_latents, emovec, prefix_embeds, prefix_mask = self._jit_prefix(
+                self.gpt_params, spk["spk_cond_emb"], jnp.asarray([spk["spk_len"]]),
+                emo_cond_emb, jnp.asarray([emo_len]), jnp.asarray(float(emo_alpha)),
+                override, jnp.asarray(False),  # override merged below
+                jnp.asarray(text_ids), jnp.asarray([tlen]), prefix_len)
+            if emo_vector is not None:
+                # emovec = emovec_mat + (1 - sum(w)) * merged (infer_v2.py:568-570)
+                emovec = emovec_mat + (1.0 - weight_sum) * emovec
+                conds = uv.build_conds_latent(self.gpt_params, cond_latents, emovec)
+                prefix_embeds, prefix_mask = uv.prepare_prefix_embeds(
+                    self.gpt_params, self.cfg.gpt, conds, jnp.asarray(text_ids),
+                    jnp.asarray([tlen]), prefix_len, dtype=self.dtype)
 
-                # [G] decode (beam search when num_beams > 1, the reference
-                # default; adaptive-cache sampling otherwise)
-                decode_fn = (generate_beam if sampling.num_beams > 1
-                             else generate_adaptive)
-                codes, code_lens = decode_fn(
-                    self.gpt_params, self.cfg.gpt, self.gpt_dims, prefix_embeds,
-                    prefix_mask, self._next_rng(), max_new_tokens=max_mel_tokens,
-                    sampling=sampling, dtype=self.dtype)
-                code_lens_np = np.asarray(code_lens)
+            # [G] decode (beam search when num_beams > 1, the reference
+            # default; adaptive-cache sampling otherwise)
+            decode_fn = (generate_beam if sampling.num_beams > 1
+                         else generate_adaptive)
+            codes, code_lens = decode_fn(
+                self.gpt_params, self.cfg.gpt, self.gpt_dims, prefix_embeds,
+                prefix_mask, self._next_rng(), max_new_tokens=max_mel_tokens,
+                sampling=sampling, dtype=self.dtype)
+            code_lens_np = np.asarray(code_lens)
             gpt_gen_time += time.perf_counter() - m_start
 
             if not has_warned and int(code_lens_np[0]) >= max_mel_tokens:
