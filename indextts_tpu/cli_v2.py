@@ -58,16 +58,39 @@ class InputValidationError(ValueError):
     pass
 
 
-class BatchFileError(ValueError):
+class _Fail(Exception):
+    """Contract failure: carries the stderr message + process exit code.
+
+    The subcommand bodies below are written as straight-line validators that
+    `_require(...)` their way through the contract; the dispatcher prints and
+    maps to the exit code in one place.
+    """
+
+    def __init__(self, message, exit_code):
+        super().__init__(message)
+        self.message = message
+        self.exit_code = exit_code
+
+
+def _require(cond, message, exit_code=EXIT_INPUT_ERROR):
+    if not cond:
+        raise _Fail(f"ERROR: {message}", exit_code)
+
+
+class _ExitCodedError(ValueError):
+    """Validation error that knows which process exit code it maps to."""
+
     def __init__(self, message, exit_code):
         super().__init__(message)
         self.exit_code = exit_code
 
 
-class ConcatFileError(ValueError):
-    def __init__(self, message, exit_code):
-        super().__init__(message)
-        self.exit_code = exit_code
+class BatchFileError(_ExitCodedError):
+    pass
+
+
+class ConcatFileError(_ExitCodedError):
+    pass
 
 
 class ConcatExecutionError(RuntimeError):
@@ -205,29 +228,31 @@ def _add_runtime_args(p):
 # persistent config (TOML-subset, platform paths)
 # ---------------------------------------------------------------------------
 
+def _platform_root(env_var, *home_fallback):
+    """Platform config/data root: $env_var if set, else ~/<fallback...>."""
+    root = os.environ.get(env_var) if env_var else None
+    return Path(root) if root else Path.home().joinpath(*home_fallback)
+
+
 def _config_path():
-    if sys.platform == "win32":
-        root = os.environ.get("APPDATA")
-        base = Path(root) if root else Path.home() / "AppData" / "Roaming"
-        return base / "IndexTTS" / "config.toml"
-    if sys.platform == "darwin":
-        return Path.home() / "Library" / "Application Support" / "IndexTTS" / "config.toml"
-    root = os.environ.get("XDG_CONFIG_HOME")
-    base = Path(root) if root else Path.home() / ".config"
-    return base / "indextts" / "config.toml"
+    roots = {
+        "win32": ("APPDATA", ("AppData", "Roaming"), ("IndexTTS",)),
+        "darwin": (None, ("Library", "Application Support"), ("IndexTTS",)),
+    }
+    env_var, fallback, leaf = roots.get(
+        sys.platform, ("XDG_CONFIG_HOME", (".config",), ("indextts",)))
+    return _platform_root(env_var, *fallback).joinpath(*leaf, "config.toml")
 
 
 def _default_model_dir():
-    if sys.platform == "win32":
-        root = os.environ.get("LOCALAPPDATA")
-        base = Path(root) if root else Path.home() / "AppData" / "Local"
-        return base / "IndexTTS" / "models" / "IndexTTS-2"
-    if sys.platform == "darwin":
-        return (Path.home() / "Library" / "Application Support" / "IndexTTS"
-                / "models" / "IndexTTS-2")
-    root = os.environ.get("XDG_DATA_HOME")
-    base = Path(root) if root else Path.home() / ".local" / "share"
-    return base / "indextts" / "models" / "IndexTTS-2"
+    roots = {
+        "win32": ("LOCALAPPDATA", ("AppData", "Local"), ("IndexTTS",)),
+        "darwin": (None, ("Library", "Application Support"), ("IndexTTS",)),
+    }
+    env_var, fallback, leaf = roots.get(
+        sys.platform, ("XDG_DATA_HOME", (".local", "share"), ("indextts",)))
+    return _platform_root(env_var, *fallback).joinpath(
+        *leaf, "models", "IndexTTS-2")
 
 
 def _load_persisted_config():
@@ -253,17 +278,17 @@ def _save_persisted_config(config):
     _config_path().write_text(_format_persisted_config(config), encoding="utf-8")
 
 
+def _toml_value(value):
+    if isinstance(value, bool):
+        return str(value).lower()
+    quoted = str(value).replace("\\", "\\\\").replace('"', '\\"')
+    return f'"{quoted}"'
+
+
 def _format_persisted_config(config):
-    lines = []
-    for key in PERSISTED_CONFIG_KEYS:
-        if key not in config or config[key] is None:
-            continue
-        value = config[key]
-        if isinstance(value, bool):
-            lines.append(f"{key} = {str(value).lower()}")
-        else:
-            quoted = str(value).replace("\\", "\\\\").replace('"', '\\"')
-            lines.append(f'{key} = "{quoted}"')
+    lines = [f"{key} = {_toml_value(config[key])}"
+             for key in PERSISTED_CONFIG_KEYS
+             if config.get(key) is not None]
     return "\n".join(lines) + ("\n" if lines else "")
 
 
@@ -280,25 +305,22 @@ def _parse_config_bool(value):
 
 
 def _ensure_user_state(config=None):
-    if config is None:
-        config = _load_persisted_config()
+    config = _load_persisted_config() if config is None else config
     model_dir = Path(config.get("model_dir") or _default_model_dir())
     config["model_dir"] = model_dir.as_posix()
-    _config_path().parent.mkdir(parents=True, exist_ok=True)
-    model_dir.mkdir(parents=True, exist_ok=True)
+    for d in (_config_path().parent, model_dir):
+        d.mkdir(parents=True, exist_ok=True)
     _save_persisted_config(config)
 
 
 def _resolve_model_dir(model_dir_arg=None):
-    if model_dir_arg is not None:
-        return Path(model_dir_arg).expanduser().resolve(strict=False)
-    env_dir = os.environ.get("INDEXTTS2_MODEL_DIR")
-    if env_dir:
-        return Path(env_dir).expanduser().resolve(strict=False)
-    config = _load_persisted_config()
-    if config.get("model_dir"):
-        return Path(config["model_dir"]).expanduser().resolve(strict=False)
-    return _default_model_dir().resolve(strict=False)
+    """Precedence: CLI arg > $INDEXTTS2_MODEL_DIR > persisted > default."""
+    candidates = (model_dir_arg, os.environ.get("INDEXTTS2_MODEL_DIR") or None,
+                  _load_persisted_config().get("model_dir") or None)
+    chosen = next((c for c in candidates if c is not None), None)
+    if chosen is None:
+        return _default_model_dir().resolve(strict=False)
+    return Path(chosen).expanduser().resolve(strict=False)
 
 
 def _resolve_runtime_options(args):
@@ -317,52 +339,64 @@ def _resolve_runtime_options(args):
 # subcommands
 # ---------------------------------------------------------------------------
 
-def _run_init(args):
+def _persist_config_update(**updates):
+    """Merge updates into the persisted TOML and write it back."""
     config = _load_persisted_config()
-    if args.model_dir is not None:
-        config["model_dir"] = _normalize_persisted_path(args.model_dir)
-    elif not config.get("model_dir"):
-        config["model_dir"] = _default_model_dir().as_posix()
+    config.update(updates)
+    _config_path().parent.mkdir(parents=True, exist_ok=True)
+    _save_persisted_config(config)
+    return config
+
+
+def _run_init(args):
+    override = (_normalize_persisted_path(args.model_dir)
+                if args.model_dir is not None else None)
+    config = _load_persisted_config()
+    model_dir = (override or config.get("model_dir")
+                 or _default_model_dir().as_posix())
+    config["model_dir"] = model_dir
     _ensure_user_state(config)
-    print(f"Config: {_config_path()}")
-    print(f"Model directory: {Path(config['model_dir'])}")
+    for line in (f"Config: {_config_path()}",
+                 f"Model directory: {Path(model_dir)}"):
+        print(line)
     return EXIT_SUCCESS
 
 
+def _config_set_handlers():
+    """Per-key (normalize, echo) handlers for `config set`; a normalizer
+    returning None means the value failed to parse."""
+    def bool_norm(v):
+        return _parse_config_bool(v)
+
+    return {
+        "model_dir": (lambda v: _normalize_persisted_path(v),
+                      lambda v: str(Path(v))),
+        "default_device": (lambda v: v, lambda v: v),
+        "use_fp16": (bool_norm, lambda v: str(v).lower()),
+        "use_deepspeed": (bool_norm, lambda v: str(v).lower()),
+        "use_cuda_kernel": (bool_norm, lambda v: str(v).lower()),
+    }
+
+
 def _run_config(args):
-    if args.config_command == "path":
+    sub = args.config_command
+    if sub == "path":
         print(_config_path())
-        return EXIT_SUCCESS
-    if args.config_command == "get":
+    elif sub == "get":
         print(_format_persisted_config(_load_persisted_config()), end="")
-        return EXIT_SUCCESS
-    if args.config_command == "set":
-        config = _load_persisted_config()
-        if args.key == "model_dir":
-            value = _normalize_persisted_path(args.value)
-            config[args.key] = value
-            _config_path().parent.mkdir(parents=True, exist_ok=True)
-            _save_persisted_config(config)
-            print(f"{args.key} = {Path(value)}")
-            return EXIT_SUCCESS
-        if args.key == "default_device":
-            config[args.key] = args.value
-            _config_path().parent.mkdir(parents=True, exist_ok=True)
-            _save_persisted_config(config)
-            print(f"{args.key} = {args.value}")
-            return EXIT_SUCCESS
-        if args.key in {"use_fp16", "use_deepspeed", "use_cuda_kernel"}:
-            value = _parse_config_bool(args.value)
-            if value is None:
-                print(f"ERROR: {args.key} must be true or false", file=sys.stderr)
-                return EXIT_INPUT_ERROR
-            config[args.key] = value
-            _config_path().parent.mkdir(parents=True, exist_ok=True)
-            _save_persisted_config(config)
-            print(f"{args.key} = {str(value).lower()}")
-            return EXIT_SUCCESS
-    print("ERROR: config requires a subcommand: path, get or set", file=sys.stderr)
-    return EXIT_INPUT_ERROR
+    elif sub == "set":
+        normalize, echo = _config_set_handlers()[args.key]
+        value = normalize(args.value)
+        if value is None:
+            print(f"ERROR: {args.key} must be true or false", file=sys.stderr)
+            return EXIT_INPUT_ERROR
+        _persist_config_update(**{args.key: value})
+        print(f"{args.key} = {echo(value)}")
+    else:
+        print("ERROR: config requires a subcommand: path, get or set",
+              file=sys.stderr)
+        return EXIT_INPUT_ERROR
+    return EXIT_SUCCESS
 
 
 def _run_download(args):
@@ -371,21 +405,21 @@ def _run_download(args):
     try:
         _download_model_resources(args.source, model_dir)
     except (ImportError, OSError) as exc:
-        print(f"ERROR: runtime unavailable for {args.source} download source: {exc}",
-              file=sys.stderr)
-        print(f"Install download support with: pip install "
-              f"{_download_support_package(args.source)}", file=sys.stderr)
+        for line in (
+                f"ERROR: runtime unavailable for {args.source} download "
+                f"source: {exc}",
+                f"Install download support with: pip install "
+                f"{_download_support_package(args.source)}"):
+            print(line, file=sys.stderr)
         return EXIT_RUNTIME_UNAVAILABLE
 
     if _report_missing_model_resources(model_dir) is not None:
         return EXIT_MISSING_RESOURCE
 
-    if args.model_dir is not None and not args.no_save:
-        config = _load_persisted_config()
-        config["model_dir"] = _normalize_persisted_path(args.model_dir)
-        _config_path().parent.mkdir(parents=True, exist_ok=True)
-        _save_persisted_config(config)
-
+    persist = args.model_dir is not None and not args.no_save
+    if persist:
+        _persist_config_update(
+            model_dir=_normalize_persisted_path(args.model_dir))
     print(f"Downloaded model resources to: {model_dir}")
     return EXIT_SUCCESS
 
@@ -467,101 +501,124 @@ def _device_family(device):
     return device
 
 
-def _run_synth(args, tts_factory=None, stdin=None):
-    if _text_source_count(args) != 1:
-        print("ERROR: provide exactly one text source: --text, --text-file or --stdin",
-              file=sys.stderr)
-        return EXIT_INPUT_ERROR
-    if args.text_file and not Path(args.text_file).is_file():
-        print(f"ERROR: text file does not exist: {args.text_file}", file=sys.stderr)
-        return EXIT_MISSING_RESOURCE
+def _validated_synth_request(args, stdin):
+    """Contract validation for `synth`; raises _Fail with the pinned message
+    + exit code at the first violation, returns the assembled request."""
+    _require(_text_source_count(args) == 1,
+             "provide exactly one text source: --text, --text-file or --stdin")
+    if args.text_file:
+        _require(Path(args.text_file).is_file(),
+                 f"text file does not exist: {args.text_file}",
+                 EXIT_MISSING_RESOURCE)
     text = _read_synth_text(args, stdin)
-    if not text:
-        print("ERROR: text is empty", file=sys.stderr)
-        return EXIT_INPUT_ERROR
-    if not args.voice:
-        print("ERROR: --voice is required", file=sys.stderr)
-        return EXIT_MISSING_RESOURCE
+    _require(bool(text), "text is empty")
+    _require(bool(args.voice), "--voice is required", EXIT_MISSING_RESOURCE)
     voice_path = Path(args.voice)
-    if not voice_path.is_file():
-        print(f"ERROR: voice reference audio does not exist: {voice_path}",
-              file=sys.stderr)
-        return EXIT_MISSING_RESOURCE
+    _require(voice_path.is_file(),
+             f"voice reference audio does not exist: {voice_path}",
+             EXIT_MISSING_RESOURCE)
     conflict = _emotion_conflict_error(args)
     if conflict is not None:
-        print(conflict, file=sys.stderr)
-        return EXIT_INPUT_ERROR
+        raise _Fail(conflict, EXIT_INPUT_ERROR)
     emotion_vector = None
     if args.emotion_vector is not None:
         try:
             emotion_vector = _parse_emotion_vector(args.emotion_vector)
         except InputValidationError as exc:
-            print(f"ERROR: {exc}", file=sys.stderr)
-            return EXIT_INPUT_ERROR
-    if args.emotion_text is not None and not args.emotion_text.strip():
-        print("ERROR: --emotion-text must not be empty", file=sys.stderr)
-        return EXIT_INPUT_ERROR
-    emotion_path = Path(args.emotion_audio) if args.emotion_audio is not None else None
-    if emotion_path is not None and not emotion_path.is_file():
-        print(f"ERROR: emotion reference audio does not exist: {emotion_path}",
-              file=sys.stderr)
-        return EXIT_MISSING_RESOURCE
+            raise _Fail(f"ERROR: {exc}", EXIT_INPUT_ERROR)
+    if args.emotion_text is not None:
+        _require(bool(args.emotion_text.strip()),
+                 "--emotion-text must not be empty")
+    emotion_path = (Path(args.emotion_audio)
+                    if args.emotion_audio is not None else None)
+    if emotion_path is not None:
+        _require(emotion_path.is_file(),
+                 f"emotion reference audio does not exist: {emotion_path}",
+                 EXIT_MISSING_RESOURCE)
     try:
         emotion_weight = float(args.emotion_weight)
     except ValueError:
-        print(f"ERROR: --emotion-weight must be a float: {args.emotion_weight}",
-              file=sys.stderr)
-        return EXIT_INPUT_ERROR
-    if not args.output:
-        print("ERROR: --output is required", file=sys.stderr)
-        return EXIT_INPUT_ERROR
+        raise _Fail(f"ERROR: --emotion-weight must be a float: "
+                    f"{args.emotion_weight}", EXIT_INPUT_ERROR)
+    _require(bool(args.output), "--output is required")
     output_path = Path(args.output)
-    if output_path.exists() and not args.force:
-        print(f"ERROR: output file already exists: {output_path}", file=sys.stderr)
-        return EXIT_INPUT_ERROR
+    _require(args.force or not output_path.exists(),
+             f"output file already exists: {output_path}")
+    return argparse.Namespace(
+        text=text, voice_path=voice_path, output_path=output_path,
+        emotion_path=emotion_path, emotion_vector=emotion_vector,
+        emotion_weight=emotion_weight, emotion_text=args.emotion_text)
+
+
+def _engine_factory(model_dir, tts_factory):
+    """Resolve the TTS factory; injection keeps tests model-free (reference
+    `cli_v2.py` contract). Loader ImportError/OSError -> _Fail exit 3;
+    errors from *calling* the factory stay inference errors (exit 4)."""
+    if tts_factory is not None:
+        return tts_factory
+    try:
+        return _load_indextts2(model_dir)
+    except (ImportError, OSError) as exc:
+        raise _Fail(f"ERROR: runtime unavailable: {exc}",
+                    EXIT_RUNTIME_UNAVAILABLE)
+
+
+def _make_engine(factory, model_dir, runtime, verbose):
+    with _synth_stdout_context(verbose):
+        return factory(
+            cfg_path=str(model_dir / "config.yaml"),
+            model_dir=str(model_dir),
+            use_fp16=runtime.fp16,
+            device=runtime.device,
+            use_cuda_kernel=runtime.cuda_kernel,
+            use_deepspeed=runtime.deepspeed,
+        )
+
+
+def _emotion_infer_kwargs(emotion_path, emotion_text, emotion_vector,
+                          emotion_weight):
+    kw = {}
+    if emotion_path is not None:
+        kw.update(emo_audio_prompt=str(emotion_path))
+    if emotion_text is not None:
+        kw.update(use_emo_text=True, emo_text=emotion_text)
+    if emotion_vector is not None:
+        kw.update(emo_vector=emotion_vector)
+    if kw:
+        kw["emo_alpha"] = emotion_weight
+    return kw
+
+
+def _run_synth(args, tts_factory=None, stdin=None):
+    try:
+        req = _validated_synth_request(args, stdin)
+    except _Fail as fail:
+        print(fail.message, file=sys.stderr)
+        return fail.exit_code
     _ensure_user_state()
     model_dir = _resolve_model_dir(args.model_dir)
     runtime = _resolve_runtime_options(args)
     if _report_missing_model_resources(model_dir) is not None:
         return EXIT_MISSING_RESOURCE
-    output_path.parent.mkdir(parents=True, exist_ok=True)
-    if tts_factory is None:
-        try:
-            tts_factory = _load_indextts2(model_dir)
-        except (ImportError, OSError) as exc:
-            print(f"ERROR: runtime unavailable: {exc}", file=sys.stderr)
-            return EXIT_RUNTIME_UNAVAILABLE
+    req.output_path.parent.mkdir(parents=True, exist_ok=True)
     try:
+        factory = _engine_factory(model_dir, tts_factory)
+    except _Fail as fail:
+        print(fail.message, file=sys.stderr)
+        return fail.exit_code
+    try:
+        tts = _make_engine(factory, model_dir, runtime, args.verbose)
         with _synth_stdout_context(args.verbose):
-            tts = tts_factory(
-                cfg_path=str(model_dir / "config.yaml"),
-                model_dir=str(model_dir),
-                use_fp16=runtime.fp16,
-                device=runtime.device,
-                use_cuda_kernel=runtime.cuda_kernel,
-                use_deepspeed=runtime.deepspeed,
-            )
-            infer_kwargs = {
-                "spk_audio_prompt": str(voice_path),
-                "text": text,
-                "output_path": str(output_path),
-                "verbose": args.verbose,
-            }
-            if emotion_path is not None:
-                infer_kwargs["emo_audio_prompt"] = str(emotion_path)
-                infer_kwargs["emo_alpha"] = emotion_weight
-            if args.emotion_text is not None:
-                infer_kwargs["use_emo_text"] = True
-                infer_kwargs["emo_text"] = args.emotion_text
-                infer_kwargs["emo_alpha"] = emotion_weight
-            if emotion_vector is not None:
-                infer_kwargs["emo_vector"] = emotion_vector
-                infer_kwargs["emo_alpha"] = emotion_weight
-            tts.infer(**infer_kwargs)
+            tts.infer(spk_audio_prompt=str(req.voice_path), text=req.text,
+                      output_path=str(req.output_path), verbose=args.verbose,
+                      **_emotion_infer_kwargs(req.emotion_path,
+                                              req.emotion_text,
+                                              req.emotion_vector,
+                                              req.emotion_weight))
     except Exception as exc:
         print(f"ERROR: inference failed: {exc}", file=sys.stderr)
         return EXIT_INFERENCE_ERROR
-    print(f"Generated: {output_path}")
+    print(f"Generated: {req.output_path}")
     return EXIT_SUCCESS
 
 
@@ -586,23 +643,14 @@ def _run_batch(args, tts_factory=None):
         else:
             print(f"Batch file OK: {len(tasks)} tasks")
         return EXIT_SUCCESS
-    if tts_factory is None:
-        try:
-            tts_factory = _load_indextts2(model_dir)
-        except (ImportError, OSError) as exc:
-            print(f"ERROR: runtime unavailable: {exc}", file=sys.stderr)
-            return EXIT_RUNTIME_UNAVAILABLE
+    try:
+        factory = _engine_factory(model_dir, tts_factory)
+    except _Fail as fail:
+        print(fail.message, file=sys.stderr)
+        return fail.exit_code
     verbose = getattr(args, "verbose", False)
     try:
-        with _synth_stdout_context(verbose):
-            tts = tts_factory(
-                cfg_path=str(model_dir / "config.yaml"),
-                model_dir=str(model_dir),
-                use_fp16=runtime.fp16,
-                device=runtime.device,
-                use_cuda_kernel=runtime.cuda_kernel,
-                use_deepspeed=runtime.deepspeed,
-            )
+        tts = _make_engine(factory, model_dir, runtime, verbose)
     except Exception as exc:
         print(f"ERROR: inference failed: {exc}", file=sys.stderr)
         return EXIT_INFERENCE_ERROR
@@ -615,22 +663,26 @@ def _run_batch(args, tts_factory=None):
         output_path = task["output_path"]
         output_path.parent.mkdir(parents=True, exist_ok=True)
         try:
-            with _synth_stdout_context(verbose):
-                infer_kwargs = {
-                    "spk_audio_prompt": str(task["voice_path"]),
-                    "text": task["text"],
-                    "output_path": str(output_path),
-                    "verbose": verbose,
-                }
-                infer_kwargs.update(task["emotion_kwargs"])
-                tts.infer(**infer_kwargs)
+            _synthesize_task(tts, task, output_path, verbose)
         except Exception as exc:
-            print(f"ERROR: batch file line {task['line_number']} inference "
-                  f"failed: {exc}", file=sys.stderr)
+            _print_task_failure(task, exc)
             return EXIT_INFERENCE_ERROR
         print(f"Generated: {output_path}")
     print(f"Batch complete: {len(tasks)} tasks generated")
     return EXIT_SUCCESS
+
+
+def _synthesize_task(tts, task, output_path, verbose):
+    """One manifest line -> one WAV (shared by per-file batch and concat)."""
+    with _synth_stdout_context(verbose):
+        tts.infer(spk_audio_prompt=str(task["voice_path"]),
+                  text=task["text"], output_path=str(output_path),
+                  verbose=verbose, **task["emotion_kwargs"])
+
+
+def _print_task_failure(task, exc):
+    print(f"ERROR: batch file line {task['line_number']} inference "
+          f"failed: {exc}", file=sys.stderr)
 
 
 def _run_batch_concat(args, tasks, tts, verbose, output_path):
@@ -645,33 +697,18 @@ def _run_batch_concat(args, tasks, tts, verbose, output_path):
         for index, task in enumerate(tasks, start=1):
             segment_path = temp_dir / f"{index:04d}.wav"
             try:
-                with _synth_stdout_context(verbose):
-                    infer_kwargs = {
-                        "spk_audio_prompt": str(task["voice_path"]),
-                        "text": task["text"],
-                        "output_path": str(segment_path),
-                        "verbose": verbose,
-                    }
-                    infer_kwargs.update(task["emotion_kwargs"])
-                    tts.infer(**infer_kwargs)
+                _synthesize_task(tts, task, segment_path, verbose)
                 audio_format = _read_concat_wav_format(segment_path,
                                                        task["line_number"])
-            except ConcatFileError as exc:
-                print(f"ERROR: batch file line {task['line_number']} inference "
-                      f"failed: {exc}", file=sys.stderr)
-                _cleanup_after_failure(temp_dir, args.keep_temp)
-                return EXIT_INFERENCE_ERROR
+                if expected_format is None:
+                    expected_format = audio_format
+                    expected_line = task["line_number"]
+                elif audio_format != expected_format:
+                    raise ConcatFileError(
+                        f"generated WAV format does not match baseline "
+                        f"line {expected_line}", EXIT_INFERENCE_ERROR)
             except Exception as exc:
-                print(f"ERROR: batch file line {task['line_number']} inference "
-                      f"failed: {exc}", file=sys.stderr)
-                _cleanup_after_failure(temp_dir, args.keep_temp)
-                return EXIT_INFERENCE_ERROR
-            if expected_format is None:
-                expected_format, expected_line = audio_format, task["line_number"]
-            elif audio_format != expected_format:
-                print(f"ERROR: batch file line {task['line_number']} inference "
-                      f"failed: generated WAV format does not match baseline "
-                      f"line {expected_line}", file=sys.stderr)
+                _print_task_failure(task, exc)
                 _cleanup_after_failure(temp_dir, args.keep_temp)
                 return EXIT_INFERENCE_ERROR
             segments.append({
@@ -764,11 +801,12 @@ def _emotion_conflict_error(args):
 
 def _read_synth_text(args, stdin):
     if args.stdin:
-        source = sys.stdin if stdin is None else stdin
-        return source.read().strip()
-    if args.text_file:
-        return Path(args.text_file).read_text(encoding="utf-8").strip()
-    return args.text.strip()
+        raw = (stdin or sys.stdin).read()
+    elif args.text_file:
+        raw = Path(args.text_file).read_text(encoding="utf-8")
+    else:
+        raw = args.text
+    return raw.strip()
 
 
 def _validate_batch_defaults(args):
@@ -1270,76 +1308,84 @@ def _concatenate_wav_segments(segments, output_path):
 # validation helpers
 # ---------------------------------------------------------------------------
 
-def _parse_emotion_vector(value, label="--emotion-vector"):
+def _emotion_vector_parts(value, label):
+    """Split an emotion vector argument (comma string / bracketed string /
+    JSON list) into raw entries, validating emptiness and entry types."""
+    def fail(reason):
+        raise InputValidationError(f"{label} {reason}")
+
     if isinstance(value, str):
-        value = value.strip()
+        body = value.strip()
+        if body[:1] == "[" and body[-1:] == "]":
+            body = body[1:-1]
+        if not body.strip():
+            fail("must not be empty")
+        return [p.strip() for p in body.split(",")]
+    if isinstance(value, list):
         if not value:
-            raise InputValidationError(f"{label} must not be empty")
-        if value.startswith("[") and value.endswith("]"):
-            value = value[1:-1]
-        if not value.strip():
-            raise InputValidationError(f"{label} must not be empty")
-        parts = [p.strip() for p in value.split(",")]
-    elif isinstance(value, list):
-        if not value:
-            raise InputValidationError(f"{label} must not be empty")
+            fail("must not be empty")
         if any(isinstance(p, bool) for p in value):
-            raise InputValidationError(f"{label} entries must be numeric")
-        parts = value
-    else:
-        raise InputValidationError(f"{label} must be a string or JSON array")
+            fail("entries must be numeric")
+        return value
+    fail("must be a string or JSON array")
+
+
+def _parse_emotion_vector(value, label="--emotion-vector"):
+    parts = _emotion_vector_parts(value, label)
     try:
         vector = [float(p) for p in parts]
     except (TypeError, ValueError) as exc:
         raise InputValidationError(f"{label} entries must be numeric") from exc
-    if len(vector) != 8:
-        raise InputValidationError(
-            f"{label} must contain exactly 8 values; got {len(vector)}")
-    bad = [v for v in vector if not math.isfinite(v) or v < 0.0 or v > 1.0]
-    if bad:
-        raise InputValidationError(f"{label} values must be between 0.0 and 1.0")
-    s = sum(vector)
-    if s > 0.8:
-        raise InputValidationError(f"{label} sum must be <= 0.8; got {s:g}")
+    checks = (
+        (len(vector) != 8,
+         f"must contain exactly 8 values; got {len(vector)}"),
+        (any(not math.isfinite(v) or not 0.0 <= v <= 1.0 for v in vector),
+         "values must be between 0.0 and 1.0"),
+        (sum(vector) > 0.8, f"sum must be <= 0.8; got {sum(vector):g}"),
+    )
+    for bad, reason in checks:
+        if bad:
+            raise InputValidationError(f"{label} {reason}")
     return vector
 
 
 def _parse_emotion_weight(value, label):
-    if isinstance(value, bool):
-        raise InputValidationError(f"{label} must be a float: {value}")
-    try:
-        return float(value)
-    except (TypeError, ValueError) as exc:
-        raise InputValidationError(f"{label} must be a float: {value}") from exc
+    if not isinstance(value, bool):
+        try:
+            return float(value)
+        except (TypeError, ValueError):
+            pass
+    raise InputValidationError(f"{label} must be a float: {value}")
 
 
 def _report_missing_model_resources(model_dir):
     missing_files = _missing_model_files(model_dir)
     if missing_files is None:
-        print(f"ERROR: model directory does not exist: {model_dir}", file=sys.stderr)
-        _print_model_resource_help(model_dir, "model directory does not exist")
-        return EXIT_MISSING_RESOURCE
-    if missing_files:
-        missing = ", ".join(missing_files)
-        print(f"ERROR: missing required model files: {missing}", file=sys.stderr)
-        _print_model_resource_help(model_dir, missing)
-        return EXIT_MISSING_RESOURCE
-    return None
+        error = f"model directory does not exist: {model_dir}"
+        summary = "model directory does not exist"
+    elif missing_files:
+        summary = ", ".join(missing_files)
+        error = f"missing required model files: {summary}"
+    else:
+        return None
+    for line in (f"ERROR: {error}",) + _model_resource_help(model_dir, summary):
+        print(line, file=sys.stderr)
+    return EXIT_MISSING_RESOURCE
 
 
-def _print_model_resource_help(model_dir, missing_summary):
-    print(f"Model directory: {model_dir}", file=sys.stderr)
-    print(f"Missing resources: {missing_summary}", file=sys.stderr)
-    print("Download with HuggingFace:", file=sys.stderr)
-    print(f'  huggingface-cli download {MODEL_REPO_ID} --local-dir "{model_dir}"',
-          file=sys.stderr)
-    print("Download with ModelScope:", file=sys.stderr)
-    print(f'  modelscope download --model {MODEL_REPO_ID} --local_dir "{model_dir}"',
-          file=sys.stderr)
-    print("Persist a different model resource directory:", file=sys.stderr)
-    print(f"  indextts2 config set model_dir {model_dir}", file=sys.stderr)
-    print("Hint: rerun indextts2 download or choose a different model resource "
-          "directory.", file=sys.stderr)
+def _model_resource_help(model_dir, missing_summary):
+    return (
+        f"Model directory: {model_dir}",
+        f"Missing resources: {missing_summary}",
+        "Download with HuggingFace:",
+        f'  huggingface-cli download {MODEL_REPO_ID} --local-dir "{model_dir}"',
+        "Download with ModelScope:",
+        f'  modelscope download --model {MODEL_REPO_ID} --local_dir "{model_dir}"',
+        "Persist a different model resource directory:",
+        f"  indextts2 config set model_dir {model_dir}",
+        "Hint: rerun indextts2 download or choose a different model resource "
+        "directory.",
+    )
 
 
 def _missing_model_files(model_dir):
@@ -1367,9 +1413,9 @@ def _load_indextts2(model_dir=None):
 
 
 def _synth_stdout_context(verbose):
-    if verbose:
-        return contextlib.nullcontext()
-    return contextlib.redirect_stdout(io.StringIO())
+    """Engine chatter goes to stdout only under --verbose."""
+    return (contextlib.nullcontext() if verbose
+            else contextlib.redirect_stdout(io.StringIO()))
 
 
 if __name__ == "__main__":
