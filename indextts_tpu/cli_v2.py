@@ -1407,6 +1407,10 @@ def _missing_primary_model_resources(model_dir):
 
 
 def _load_indextts2(model_dir=None):
+    if model_dir is not None:
+        # aux HF models (w2v-bert etc.) resolve from the model resource dir,
+        # not a stale user-level cache (reference cli_v2.py:1469)
+        os.environ["HF_HUB_CACHE"] = str(Path(model_dir) / "hf_cache")
     from indextts_tpu.pipeline.infer_v2 import IndexTTS2
 
     return IndexTTS2
