@@ -128,20 +128,36 @@ def build_app(tts, i18n: I18n, example_cases):
                                        variant="primary")
         emo_mode = gr.Radio(choices=emo_choices, value=emo_choices[0],
                             label=i18n.t("情感控制方式", "Emotion control"))
-        with gr.Group(visible=True):
+        # per-mode groups; emo_mode toggles visibility (reference webui
+        # behavior: only the active mode's controls show)
+        with gr.Group(visible=False) as emo_audio_group:
             emo_ref_path = gr.Audio(
                 label=i18n.t("情感参考音频", "Emotion reference"), type="filepath")
-            emo_weight = gr.Slider(0.0, 1.0, value=0.8, step=0.01,
-                                   label=i18n.t("情感权重", "Emotion weight"))
-            emo_random = gr.Checkbox(
-                value=False, label=i18n.t("情感随机采样", "Randomize emotion match"))
+        with gr.Group(visible=False) as emo_vec_group:
             vec_sliders = [
                 gr.Slider(0.0, 1.2, value=0.0, step=0.05,
                           label=(zh if i18n.zh else en))
                 for zh, en in EMO_VEC_LABELS
             ]
+        with gr.Group(visible=False) as emo_text_group:
             emo_text = gr.Textbox(
                 label=i18n.t("情感描述文本", "Emotion description text"))
+        with gr.Group(visible=False) as emo_weight_group:
+            emo_weight = gr.Slider(0.0, 1.0, value=0.8, step=0.01,
+                                   label=i18n.t("情感权重", "Emotion weight"))
+            emo_random = gr.Checkbox(
+                value=False, label=i18n.t("情感随机采样", "Randomize emotion match"))
+
+        def on_mode_change(mode):
+            idx = emo_choices.index(mode) if mode in emo_choices else 0
+            return (gr.update(visible=idx == 1),   # emotion reference audio
+                    gr.update(visible=idx == 2),   # emotion vectors
+                    gr.update(visible=idx == 3),   # emotion text
+                    gr.update(visible=idx != 0))   # weight applies to 1/2/3
+
+        emo_mode.change(on_mode_change, inputs=[emo_mode],
+                        outputs=[emo_audio_group, emo_vec_group,
+                                 emo_text_group, emo_weight_group])
         with gr.Accordion(i18n.t("高级生成参数设置", "Advanced settings"),
                           open=False):
             interval_silence = gr.Slider(0, 1000, value=200, step=50,
@@ -228,8 +244,13 @@ def build_app(tts, i18n: I18n, example_cases):
                                  outputs=[glossary_box])
 
         if example_cases:
-            gr.Examples(examples=[c[:3] for c in example_cases],
-                        inputs=[prompt_audio, emo_mode, text_input])
+            # rows carry every case field: prompt, mode, text, 8 emo-vec
+            # values, emotion reference, weight
+            rows = [[c[0], emo_choices[c[1]] if isinstance(c[1], int) else c[1],
+                     c[2], *c[3:11], c[11], c[12]] for c in example_cases]
+            gr.Examples(examples=rows,
+                        inputs=[prompt_audio, emo_mode, text_input,
+                                *vec_sliders, emo_ref_path, emo_weight])
 
         text_input.change(count_tokens,
                           inputs=[text_input, max_text_tokens_per_segment],
@@ -261,6 +282,30 @@ def main():
         print("ERROR: gradio is not installed (pip install gradio)",
               file=sys.stderr)
         return 3
+
+    # model auto-download on launch (reference webui.py:34-63): fetch any
+    # missing checkpoints, then example assets for the examples table
+    required = ("config.yaml", "bpe.model", "gpt.pth", "s2mel.pth")
+    if any(not os.path.exists(os.path.join(args.model_dir, f))
+           for f in required):
+        print(f">> model files missing under {args.model_dir}; downloading...")
+        try:
+            from indextts_tpu.utils.download import snapshot_download
+
+            snapshot_download("IndexTeam/IndexTTS-2", local_dir=args.model_dir)
+        except Exception as e:
+            print(f">> model download failed: {e!r}", file=sys.stderr)
+            print(f"Please download the model to {args.model_dir} manually "
+                  f"(indextts2 download).", file=sys.stderr)
+            return 2
+    try:
+        from indextts_tpu.utils.examples_downloader import (download_examples,
+                                                            examples_present)
+
+        if not examples_present():
+            download_examples()
+    except Exception as e:
+        print(f">> example download skipped: {e!r}")
 
     from indextts_tpu.pipeline.infer_v2 import IndexTTS2
 
