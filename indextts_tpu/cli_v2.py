@@ -174,6 +174,9 @@ def _build_parser():
     batch.add_argument("--output", help="Path to write concatenated batch WAV audio")
     batch.add_argument("--keep-temp", action="store_true",
                        help="Keep internal batch concat temporary files")
+    batch.add_argument("--mesh", type=int, default=None, metavar="N",
+                       help="Shard batch segments across N devices "
+                            "(data-parallel jax.sharding mesh)")
     _add_runtime_args(batch)
     batch.add_argument("--voice", help="Default speaker reference audio for every batch task")
     batch.add_argument("--emotion-audio", help="Default emotion reference audio for every batch task")
@@ -563,7 +566,7 @@ def _engine_factory(model_dir, tts_factory):
                     EXIT_RUNTIME_UNAVAILABLE)
 
 
-def _make_engine(factory, model_dir, runtime, verbose):
+def _make_engine(factory, model_dir, runtime, verbose, extra=None):
     with _synth_stdout_context(verbose):
         return factory(
             cfg_path=str(model_dir / "config.yaml"),
@@ -572,6 +575,7 @@ def _make_engine(factory, model_dir, runtime, verbose):
             device=runtime.device,
             use_cuda_kernel=runtime.cuda_kernel,
             use_deepspeed=runtime.deepspeed,
+            **(extra or {}),
         )
 
 
@@ -649,8 +653,10 @@ def _run_batch(args, tts_factory=None):
         print(fail.message, file=sys.stderr)
         return fail.exit_code
     verbose = getattr(args, "verbose", False)
+    mesh = getattr(args, "mesh", None)
     try:
-        tts = _make_engine(factory, model_dir, runtime, verbose)
+        tts = _make_engine(factory, model_dir, runtime, verbose,
+                           extra={"mesh": mesh} if mesh else None)
     except Exception as exc:
         print(f"ERROR: inference failed: {exc}", file=sys.stderr)
         return EXIT_INFERENCE_ERROR

@@ -104,61 +104,6 @@ def dense(p: Params, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
     return y.astype(dtype)
 
 
-def _decode_block_n(n: int) -> int:
-    for bn in (512, 384, 256, 128):
-        if n % bn == 0:
-            return bn
-    return 0
-
-
-def dense_decode(p: Params, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
-    """`dense` for tiny-M decode activations (x: (M<=8, K)).
-
-    Routes the weight-only int8 path through the Pallas streaming kernel on
-    TPU (each weight byte read from HBM exactly once per token); numerically
-    identical to `dense` everywhere else (CPU tests, unquantized params).
-    """
-    dtype = dtype or x.dtype
-    if "q" in p and x.ndim == 2 and x.shape[0] <= 8 \
-            and jax.default_backend() in ("tpu", "axon"):
-        K, N = p["q"].shape[-2:]
-        bn = _decode_block_n(N)
-        if bn and K % 32 == 0:
-            from indextts_tpu.ops.pallas.int8_matmul import int8_matvec
-
-            y = int8_matvec(x.astype(jnp.bfloat16), p["q"], block_n=bn)
-            y = y * p["scale"].astype(jnp.float32)
-            if "bias" in p:
-                y = y + p["bias"].astype(jnp.float32)
-            return y.astype(dtype)
-    return dense(p, x, dtype)
-
-
-def mlp_decode(p: Params, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
-    """gelu-MLP (c_fc -> gelu_new -> c_proj) for tiny-M decode activations.
-
-    On TPU with int8 weights this is one fused Pallas kernel that streams
-    both weight matrices through VMEM once; elsewhere it is the plain chain.
-    """
-    dtype = dtype or x.dtype
-    fc, pr = p["c_fc"], p["c_proj"]
-    if "q" in fc and "q" in pr and x.ndim == 2 and x.shape[0] <= 8 \
-            and jax.default_backend() in ("tpu", "axon"):
-        K, N = fc["q"].shape[-2:]
-        if K % 128 == 0 and N % 512 == 0:
-            from indextts_tpu.ops.pallas.int8_matmul import int8_mlp
-
-            s1 = fc["scale"].reshape(1, N).astype(jnp.float32)
-            b1 = fc["bias"].reshape(1, N).astype(jnp.float32)
-            y = int8_mlp(x.astype(jnp.bfloat16), fc["q"], s1, b1, pr["q"],
-                         block_k2=512)
-            y = y * pr["scale"].reshape(1, K).astype(jnp.float32)
-            if "bias" in pr:
-                y = y + pr["bias"].astype(jnp.float32)
-            return y.astype(dtype)
-    return dense(pr, gelu_new(dense(fc, x, dtype)), dtype)
-
-
 def quantize_dense_int8(p: Params) -> Params:
     """Per-output-channel symmetric int8 quantization of a dense kernel."""
     if "kernel" not in p:

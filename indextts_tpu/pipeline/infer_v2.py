@@ -87,11 +87,23 @@ class IndexTTS2:
                  seed: int = 0, dtype=jnp.bfloat16,
                  allow_random_init: bool = True,
                  quantization: Optional[str] = None,
-                 cfg: Optional[IndexTTS2Config] = None):
+                 cfg: Optional[IndexTTS2Config] = None,
+                 mesh=None):
         """Accepts the reference's kwargs; CUDA-era knobs (use_cuda_kernel,
         use_deepspeed, use_accel, use_torch_compile) are accepted and ignored —
-        XLA compilation subsumes all of them."""
+        XLA compilation subsumes all of them.
+
+        mesh: optional `jax.sharding.Mesh` (or an int device count) — params
+        are replicated across it and the batched segment decode + synthesis
+        shard their segment rows over the `dp` axis (segments -> chips, the
+        TPU analogue of the reference's `bucket_segments`).
+        """
         del use_cuda_kernel, use_deepspeed, use_accel, use_torch_compile, device
+        if isinstance(mesh, int):
+            from indextts_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(mesh, tp=1)
+        self.mesh = mesh
         from indextts_tpu.utils.xla_cache import enable_persistent_cache
         enable_persistent_cache()
         # emit a per-stage device sync for honest s2mel/vocoder split timing
@@ -242,7 +254,20 @@ class IndexTTS2:
 
         # compute dtype cast (norm params are cast to fp32 inside the ops),
         # then ONE batched host->device transfer for the whole tree (a
-        # per-tensor transfer is an RPC each on remote-attached TPUs)
+        # per-tensor transfer is an RPC each on remote-attached TPUs).
+        # Under a mesh every tree is replicated so jitted programs can take
+        # dp-sharded batch inputs without resharding params.
+        if self.mesh is not None:
+            from indextts_tpu.parallel.mesh import replicated
+
+            placement = replicated(self.mesh)
+        else:
+            placement = None
+
+        def put(tree):
+            return jax.device_put(tree, placement) if placement is not None \
+                else jax.device_put(tree)
+
         for name in ("gpt_params", "s2mel_params", "codec_params",
                      "bigvgan_params", "w2v_params"):
             tree = nn.cast_tree(getattr(self, name), self.dtype)
@@ -254,9 +279,13 @@ class IndexTTS2:
                 tree = dict(tree)
                 tree["gpt"] = quantize_gpt2_int8(tree["gpt"])
                 print(">> GPT decoder weights quantized to int8 (weight-only)")
-            setattr(self, name, jax.device_put(tree))
-        self.campplus_params = jax.device_put(
-            nn.cast_tree(self.campplus_params, jnp.float32))
+            setattr(self, name, put(tree))
+        self.campplus_params = put(nn.cast_tree(self.campplus_params, jnp.float32))
+        if self.mesh is not None:
+            self.w2v_mean = put(self.w2v_mean)
+            self.w2v_std = put(self.w2v_std)
+            self.emo_matrix = [put(m) for m in self.emo_matrix]
+            self.spk_matrix = [put(m) for m in self.spk_matrix]
 
     def _load_frontend(self):
         bpe_path = os.path.join(self.model_dir, self.cfg.dataset.get("bpe_model", "bpe.model"))
@@ -339,16 +368,18 @@ class IndexTTS2:
 
         @functools.partial(jax.jit, static_argnames=("prefix_len",))
         def prefix_program(gpt_params, spk_cond_emb, spk_len, emo_cond_emb,
-                           emo_len, alpha, emo_vec_override, use_override,
-                           text_ids, text_len, prefix_len):
-            """[E] conditioning latents + merged emovec + prefix embeddings."""
+                           emo_len, alpha, text_ids, text_len, prefix_len):
+            """[E] conditioning latents + merged emovec + prefix embeddings.
+
+            The emo-vector path merges `emovec_mat` on the host afterwards
+            (reference `infer_v2.py:568-570`), so no override rides in-graph.
+            """
             cond_latents = uv.get_conditioning(gpt_params, cfg.gpt,
                                                spk_cond_emb.astype(dtype), spk_len)
             emovec = uv.merge_emovec(gpt_params, cfg.gpt,
                                      spk_cond_emb.astype(dtype),
                                      emo_cond_emb.astype(dtype),
                                      spk_len, emo_len, alpha)
-            emovec = jnp.where(use_override, emo_vec_override, emovec)
             conds = uv.build_conds_latent(gpt_params, cond_latents, emovec)
             embeds, mask = uv.prepare_prefix_embeds(
                 gpt_params, cfg.gpt, conds, text_ids, text_len, prefix_len,
@@ -686,23 +717,34 @@ class IndexTTS2:
             m_start = time.perf_counter()
             nseg = len(segments)
             tb_all = pick_bucket(max(seg_tlens), eng.text_buckets)
-            text_mat = np.zeros((nseg, tb_all), np.int32)
-            for i, ids in enumerate(seg_ids):
+            # [M] mesh: segment rows shard over dp; pad the batch to a dp
+            # multiple (padded rows repeat segment 0 and are dropped on host)
+            seg_tlens_b = list(seg_tlens)
+            nrows = nseg
+            if self.mesh is not None:
+                dp = self.mesh.devices.shape[0]
+                nrows = -(-nseg // dp) * dp
+                seg_tlens_b += [seg_tlens[0]] * (nrows - nseg)
+            text_mat = np.zeros((nrows, tb_all), np.int32)
+            for i in range(nrows):
+                ids = seg_ids[i] if i < nseg else seg_ids[0]
                 text_mat[i, :len(ids)] = ids
             prefix_len_all = n_cond + tb_all + 2
-            override = (emovec_mat if emovec_mat is not None
-                        else jnp.zeros((1, self.cfg.gpt.model_dim), jnp.float32))
             cond_latents, emovec, _, _ = self._jit_prefix(
                 self.gpt_params, spk["spk_cond_emb"], jnp.asarray([spk["spk_len"]]),
                 emo_cond_emb, jnp.asarray([emo_len]), jnp.asarray(float(emo_alpha)),
-                override, jnp.asarray(False),
                 jnp.asarray(text_mat[:1]), jnp.asarray([seg_tlens[0]]),
                 prefix_len_all)
             if emo_vector is not None:
                 emovec = emovec_mat + (1.0 - weight_sum) * emovec
             pe, pm = self._jit_prefix_batch(
                 self.gpt_params, cond_latents, emovec, jnp.asarray(text_mat),
-                jnp.asarray(seg_tlens), prefix_len_all)
+                jnp.asarray(seg_tlens_b, np.int32), prefix_len_all)
+            if self.mesh is not None:
+                from indextts_tpu.parallel.mesh import batch_sharding
+
+                pe = jax.device_put(pe, batch_sharding(self.mesh))
+                pm = jax.device_put(pm, batch_sharding(self.mesh))
             # beams > 1 -> batched (B, K) beam search; otherwise the
             # adaptive-cache sampling loop
             batch_decode_fn = (generate_beam if sampling.num_beams > 1
@@ -731,10 +773,14 @@ class IndexTTS2:
                 int(clens_all.max() * self.MEL_PER_CODE) + 1,
                 eng.mel_len_buckets)
             prompt_bucket = spk["prompt_cond"].shape[1]
+            if self.mesh is not None:
+                from indextts_tpu.parallel.mesh import batch_sharding
+
+                codes_all = jax.device_put(codes_all, batch_sharding(self.mesh))
             vc_all, _ = self._jit_synth(
                 self.gpt_params, self.s2mel_params, self.codec_params,
                 cond_latents, emovec,
-                jnp.asarray(text_mat), jnp.asarray(seg_tlens, np.int32),
+                jnp.asarray(text_mat), jnp.asarray(seg_tlens_b, np.int32),
                 codes_all, jnp.asarray(clens_all),
                 spk["prompt_cond"], jnp.asarray([spk["ref_len"]]),
                 spk["ref_mel"], jnp.asarray([spk["ref_len"]]), spk["style"],
@@ -788,12 +834,9 @@ class IndexTTS2:
             m_start = time.perf_counter()
             # [E] prefix
             prefix_len = n_cond + tb + 2
-            override = (emovec_mat if emovec_mat is not None
-                        else jnp.zeros((1, self.cfg.gpt.model_dim), jnp.float32))
             cond_latents, emovec, prefix_embeds, prefix_mask = self._jit_prefix(
                 self.gpt_params, spk["spk_cond_emb"], jnp.asarray([spk["spk_len"]]),
                 emo_cond_emb, jnp.asarray([emo_len]), jnp.asarray(float(emo_alpha)),
-                override, jnp.asarray(False),  # override merged below
                 jnp.asarray(text_ids), jnp.asarray([tlen]), prefix_len)
             if emo_vector is not None:
                 # emovec = emovec_mat + (1 - sum(w)) * merged (infer_v2.py:568-570)

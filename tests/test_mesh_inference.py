@@ -1,0 +1,61 @@
+"""Inference-path mesh test: the batched segment pipeline dp-sharded over a
+CPU mesh must produce the same audio as the single-device run (SURVEY §7.7 —
+segments -> chips, the TPU analogue of `bucket_segments`)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "tests")
+
+from indextts_tpu.pipeline.infer_v2 import IndexTTS2
+from tests.test_pipeline_e2e import model_dir, tiny_config  # noqa: F401
+
+
+@pytest.fixture(scope="module")
+def kw(model_dir):
+    return dict(spk_audio_prompt=os.path.join(model_dir, "prompt.wav"),
+                output_path=None, max_mel_tokens=8, num_beams=1,
+                do_sample=False, max_text_tokens_per_segment=4)
+
+
+def test_full_pipeline_dp2_matches_single(model_dir, kw):
+    """2 segments over a dp=2 mesh == unsharded (greedy, same rng stream)."""
+    import jax.numpy as jnp
+
+    from indextts_tpu.parallel.mesh import make_mesh
+
+    text = "hello world . the cat ."  # 2 segments at 4 tokens each
+    base = IndexTTS2(cfg_path=None, model_dir=model_dir, cfg=tiny_config(),
+                     dtype=jnp.float32)
+    sr_s, wav_s = base.infer(text=text, **kw)
+
+    mesh = make_mesh(2, tp=1)
+    sharded = IndexTTS2(cfg_path=None, model_dir=model_dir, cfg=tiny_config(),
+                        dtype=jnp.float32, mesh=mesh)
+    sr_m, wav_m = sharded.infer(text=text, **kw)
+    assert sr_m == sr_s
+    assert wav_m.shape == wav_s.shape
+    np.testing.assert_allclose(wav_m.astype(np.float32),
+                               wav_s.astype(np.float32), atol=2.0)
+
+
+def test_full_pipeline_dp_padding(model_dir, kw):
+    """3 segments on a dp=2 mesh (padded batch row) still yields 3 segments
+    with per-segment lengths matching the unsharded run."""
+    import jax.numpy as jnp
+
+    from indextts_tpu.parallel.mesh import make_mesh
+
+    text = "hello world . the cat . hello ."
+    base = IndexTTS2(cfg_path=None, model_dir=model_dir, cfg=tiny_config(),
+                     dtype=jnp.float32)
+    sr_s, wav_s = base.infer(text=text, **kw)
+
+    sharded = IndexTTS2(cfg_path=None, model_dir=model_dir, cfg=tiny_config(),
+                        dtype=jnp.float32, mesh=make_mesh(2, tp=1))
+    sr_m, wav_m = sharded.infer(text=text, **kw)
+    assert sr_m == sr_s
+    assert wav_m.shape == wav_s.shape
