@@ -70,6 +70,28 @@ def init_conformer(rng: InitRng, d: ConformerDims) -> Params:
             "conv": nn.conv2d_init(rng, 1, D, 3, 3),
             "out": nn.dense_init(rng, D * f_out, D),
         }
+    elif d.input_layer == "conv2d":     # Conv2dSubsampling4 (wenet naming)
+        f_out = ((d.input_size - 1) // 2 - 1) // 2
+        p["embed"] = {
+            "conv": nn.conv2d_init(rng, 1, D, 3, 3),
+            "conv2": nn.conv2d_init(rng, D, D, 3, 3),
+            "out": nn.dense_init(rng, D * f_out, D),
+        }
+    elif d.input_layer == "conv2d6":
+        f_out = ((d.input_size - 1) // 2 - 2) // 3
+        p["embed"] = {
+            "conv": nn.conv2d_init(rng, 1, D, 3, 3),
+            "conv2": nn.conv2d_init(rng, D, D, 5, 5),
+            "out": nn.dense_init(rng, D * f_out, D),
+        }
+    elif d.input_layer == "conv2d8":
+        f_out = (((d.input_size - 1) // 2 - 1) // 2 - 1) // 2
+        p["embed"] = {
+            "conv": nn.conv2d_init(rng, 1, D, 3, 3),
+            "conv2": nn.conv2d_init(rng, D, D, 3, 3),
+            "conv3": nn.conv2d_init(rng, D, D, 3, 3),
+            "out": nn.dense_init(rng, D * f_out, D),
+        }
     else:
         raise ValueError(f"unsupported conformer input_layer {d.input_layer!r}")
 
@@ -165,12 +187,33 @@ def conformer_encode(p: Params, d: ConformerDims, xs: jnp.ndarray,
     if d.input_layer == "linear":
         x = nn.dense(p["embed"]["linear"], xs)
         x = nn.layer_norm(p["embed"]["norm"], x)
-    else:  # conv2d2: Conv2d(1, D, 3, stride 2, VALID) over (B, T, F)
-        h = nn.conv2d(p["embed"]["conv"], xs[..., None], stride=(2, 2), padding="VALID")
+    else:
+        # Conv2dSubsampling{2,4,6,8}: stacked VALID Conv2d(3 or 5, stride 2/3)
+        # over (B, T, F, 1) with ReLU between, flattened freq x channel ->
+        # linear. Mask strides follow the reference exactly
+        # (subsampling.py:132,186,242,293,348).
+        h = nn.conv2d(p["embed"]["conv"], xs[..., None], stride=(2, 2),
+                      padding="VALID")
         h = jax.nn.relu(h)  # (B, T', F', D)
+        mask = mask[:, 2::2]
+        if d.input_layer == "conv2d":
+            h = jax.nn.relu(nn.conv2d(p["embed"]["conv2"], h, stride=(2, 2),
+                                      padding="VALID"))
+            mask = mask[:, 2::2]
+        elif d.input_layer == "conv2d6":
+            h = jax.nn.relu(nn.conv2d(p["embed"]["conv2"], h, stride=(3, 3),
+                                      padding="VALID"))
+            mask = mask[:, 4::3]
+        elif d.input_layer == "conv2d8":
+            h = jax.nn.relu(nn.conv2d(p["embed"]["conv2"], h, stride=(2, 2),
+                                      padding="VALID"))
+            h = jax.nn.relu(nn.conv2d(p["embed"]["conv3"], h, stride=(2, 2),
+                                      padding="VALID"))
+            mask = mask[:, 2::2][:, 2::2]
         Bh, Tp, Fp, _ = h.shape
-        x = nn.dense(p["embed"]["out"], h.transpose(0, 1, 3, 2).reshape(Bh, Tp, D * Fp))
-        mask = mask[:, 2::2][:, : x.shape[1]]
+        x = nn.dense(p["embed"]["out"],
+                     h.transpose(0, 1, 3, 2).reshape(Bh, Tp, D * Fp))
+        mask = mask[:, : x.shape[1]]
 
     Tp = x.shape[1]
     if pos_table is None:

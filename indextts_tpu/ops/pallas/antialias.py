@@ -41,6 +41,229 @@ from jax.experimental.pallas import tpu as pltpu
 
 from indextts_tpu.ops.snake import down_filter, up_filter
 
+
+# ---------------------------------------------------------------------------
+# folded-layout fused kernel — the production path
+#
+# BigVGAN's late stages run at C in {24, 48, 96, 192} channels, where a
+# (T, C) layout wastes 1 - C/128 of every VPU lane row AND the XLA composite
+# materializes ~13 f32 intermediates in HBM. This kernel folds f consecutive
+# time steps into the lane axis — (B, T, C) -> (B, T/f, f*C) with f*C a
+# multiple of 128 — which is a FREE reshape on the row-major input. A time
+# shift by s inside the folded layout is a lane roll by s*C with a one-row
+# borrow at the seam, so the whole up2 -> snake -> down2 chain runs at full
+# lane width with exactly one HBM read of x and one write of y.
+# ---------------------------------------------------------------------------
+
+def _folded_kernel(len_ref, x_ref, alpha_ref, beta_ref, edge_ref, sleft_ref,
+                   sright_ref, out_ref, scratch, sem, *, r_tile: int, f: int,
+                   C: int, n_tiles: int, logscale: bool, fup: np.ndarray,
+                   gdn: np.ndarray):
+    b = pl.program_id(0)
+    ti = pl.program_id(1)
+    fC = f * C
+    base = 8                      # scratch row of the tile's first row
+    r0 = ti * r_tile
+
+    # ---- DMA the tile window [r0-8, r0+r_tile+8) with edge clipping.
+    # Rows outside [0, R) stay uninitialized in scratch and are overwritten
+    # by the replicate-extension selects below (t_idx < 0 / >= length).
+    def dma(src_slice, dst_slice):
+        cp = pltpu.make_async_copy(x_ref.at[b, src_slice, :],
+                                   scratch.at[dst_slice, :], sem)
+        cp.start()
+        cp.wait()
+
+    r0m8 = pl.multiple_of(r0 - 8, 8)
+    if n_tiles == 1:
+        dma(pl.ds(0, r_tile), pl.ds(8, r_tile))
+    else:
+        first = ti == 0
+        last = ti == n_tiles - 1
+
+        @pl.when(first)
+        def _():
+            dma(pl.ds(0, r_tile + 8), pl.ds(8, r_tile + 8))
+
+        @pl.when(last)
+        def _():
+            dma(pl.ds(r0m8, r_tile + 8), pl.ds(0, r_tile + 8))
+
+        if n_tiles > 2:
+            @pl.when(jnp.logical_and(~first, ~last))
+            def _():
+                dma(pl.ds(r0m8, r_tile + 16), pl.ds(0, r_tile + 16))
+
+    xt = scratch[:, :].astype(jnp.float32)          # (r_tile+16, fC)
+
+    length = len_ref[b]
+    lane_phase = jax.lax.broadcasted_iota(jnp.int32, (r_tile + 16, fC), 1) // C
+    row_g = (jax.lax.broadcasted_iota(jnp.int32, (r_tile + 16, fC), 0)
+             - base + r0)
+    t_idx = row_g * f + lane_phase                   # global time per element
+    edge = edge_ref[b, :].astype(jnp.float32)        # (fC,) == tile(x[L-1])
+    # replicate-extension: t<0 -> x[0]; t>L-1 -> x[L-1]. The left value x[0]
+    # lives at lane block 0 of global row 0; broadcast it across lanes.
+    xt = jnp.where(t_idx > length - 1, edge[None, :], xt)
+    left_row = jnp.sum(
+        jnp.where((row_g == 0) & (lane_phase == 0), xt, 0.0), axis=0,
+        keepdims=True)                               # (1, fC), block 0 only
+    left_tile = pltpu.repeat(left_row[:, :C], f, axis=1)   # (1, fC)
+    xt = jnp.where(t_idx < 0, left_tile, xt)
+
+    # ---- folded time-shift: s = q*f + r -> q row-shift + r lane-roll ------
+    HR = -(-3 // f)  # max row reach of a |s|<=3 time shift
+
+    def shift(M, s, lo, n):
+        """M rows [lo, lo+n) shifted by s time steps (|s| <= 3); M must hold
+        valid rows [lo - HR, lo + n + HR]."""
+        q, r = divmod(s, f)      # floor division: 0 <= r < f
+        if r == 0:
+            return M[lo + q: lo + q + n, :]
+        W = M[lo + q: lo + q + n + 1, :]
+        RW = pltpu.roll(W, (fC - r * C) % fC, axis=1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (n, fC), 1)
+        return jnp.where(lane < (f - r) * C, RW[0: n, :], RW[1: n + 1, :])
+
+    # ---- phases over rows [base-HR, base+r_tile+HR) ------------------------
+    n_p = r_tile + 2 * HR
+    p_lo = base - HR
+    p0 = jnp.zeros((n_p, fC), jnp.float32)
+    p1 = jnp.zeros((n_p, fC), jnp.float32)
+    for j in range(6):
+        p0 = p0 + (2.0 * float(fup[2 * j])) * shift(xt, j - 3, p_lo, n_p)
+        p1 = p1 + (2.0 * float(fup[2 * j + 1])) * shift(xt, j - 2, p_lo, n_p)
+
+    a = alpha_ref[0, :].astype(jnp.float32)
+    bb = beta_ref[0, :].astype(jnp.float32)
+    if logscale:
+        a = jnp.exp(a)
+        bb = jnp.exp(bb)
+
+    def snake(u):
+        s = jnp.sin(u * a)
+        return u + s * s / (bb + 1e-9)
+
+    s0 = snake(p0)
+    s1 = snake(p1)
+
+    # ---- 2x-rate edge replication (reference semantics) -------------------
+    pt_idx = (jax.lax.broadcasted_iota(jnp.int32, (n_p, fC), 0) - HR + r0) * f \
+        + jax.lax.broadcasted_iota(jnp.int32, (n_p, fC), 1) // C
+    sl = sleft_ref[b, :].astype(jnp.float32)[None, :]
+    sr = sright_ref[b, :].astype(jnp.float32)[None, :]
+    s0 = jnp.where(pt_idx < 0, sl, jnp.where(pt_idx > length - 1, sr, s0))
+    s1 = jnp.where(pt_idx < 0, sl, jnp.where(pt_idx > length - 1, sr, s1))
+
+    # ---- downsample (rows [HR, HR+r_tile) of the phase window) ------------
+    y = jnp.zeros((r_tile, fC), jnp.float32)
+    for j in range(-2, 4):
+        y = y + float(gdn[2 * j + 5]) * shift(s0, j, HR, r_tile)
+    for m in range(-3, 3):
+        y = y + float(gdn[2 * m + 6]) * shift(s1, m, HR, r_tile)
+    out_ref[0, :, :] = y.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("f", "logscale", "r_tile", "interpret"))
+def fused_antialias_folded(x: jnp.ndarray, alpha: jnp.ndarray,
+                           beta: jnp.ndarray, f: int,
+                           lengths: Optional[jnp.ndarray] = None,
+                           logscale: bool = True, r_tile: int = 256,
+                           interpret: bool = False) -> jnp.ndarray:
+    """Fused Activation1d on a time-folded layout.
+
+    x: (B, T, C); f time steps fold into the lane axis (f*C should be a
+    multiple of 128; T % (f*r_tile) must be 0). Exactly matches
+    `ops.snake.antialias_activation` (tested in tests/test_pallas_antialias).
+    """
+    B, T, C = x.shape
+    assert T % f == 0 and (T // f) % r_tile == 0, (T, C, f, r_tile)
+    R = T // f
+    fC = f * C
+    fup = up_filter(2)
+    gdn = down_filter(2)
+    if lengths is None:
+        lengths = jnp.full((B,), T, jnp.int32)
+    lengths = lengths.astype(jnp.int32)
+
+    xf = x.astype(jnp.float32)
+    # tiny host-of-kernel values: the edge sample x[L-1], and the exact
+    # 2x-rate edge snakes s0[t=0] (left) / s1[t=L-1] (right) the reference
+    # replicates with — computed here on 6-tap windows (O(B*C))
+    idxL = jnp.maximum(lengths - 1, 0)[:, None, None]
+    edge = jnp.take_along_axis(xf, idxL, axis=1)                 # (B, 1, C)
+
+    def xrep(offsets):
+        # x_rep[t] rows for a (B, len(offsets), C) gather with clamping
+        o = jnp.asarray(offsets, jnp.int32)[None, :]
+        i = jnp.clip(o, 0, jnp.maximum(lengths[:, None] - 1, 0))
+        return jnp.take_along_axis(xf, i[:, :, None], axis=1)
+
+    a_full = alpha.reshape(-1).astype(jnp.float32)
+    b_full = beta.reshape(-1).astype(jnp.float32)
+    if logscale:
+        a_e = jnp.exp(a_full)
+        b_e = jnp.exp(b_full)
+    else:
+        a_e, b_e = a_full, b_full
+
+    def snake_v(u):
+        s = jnp.sin(u * a_e)
+        return u + s * s / (b_e + 1e-9)
+
+    w0 = xrep(list(range(-3, 3)))                                 # p0[0] taps
+    p0_0 = sum(2.0 * float(fup[2 * j]) * w0[:, j] for j in range(6))
+    s_left = snake_v(p0_0)                                        # (B, C)
+    # p1[L-1] taps: x_rep[L-1-2+j] — dynamic per row
+    oj = (lengths - 1)[:, None] + jnp.arange(-2, 4)[None, :]
+    ij = jnp.clip(oj, 0, jnp.maximum(lengths[:, None] - 1, 0))
+    w1 = jnp.take_along_axis(xf, ij[:, :, None], axis=1)          # (B, 6, C)
+    p1_L = sum(2.0 * float(fup[2 * j + 1]) * w1[:, j] for j in range(6))
+    s_right = snake_v(p1_L)                                       # (B, C)
+
+    def tile_f(v):  # (B, C) -> (B, fC) phase-tiled
+        return jnp.tile(v, (1, f))
+
+    xfold = x.reshape(B, R, fC)
+    alpha_t = jnp.tile(alpha.reshape(1, C), (1, f))
+    beta_t = jnp.tile(beta.reshape(1, C), (1, f))
+
+    kernel = functools.partial(_folded_kernel, r_tile=r_tile, f=f, C=C,
+                               n_tiles=R // r_tile, logscale=logscale,
+                               fup=fup, gdn=gdn)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # lengths
+            grid=(B, R // r_tile),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),   # folded x stays in HBM
+                pl.BlockSpec((1, fC), lambda b, t, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, fC), lambda b, t, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((B, fC), lambda b, t, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((B, fC), lambda b, t, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((B, fC), lambda b, t, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, r_tile, fC),
+                                   lambda b, t, *_: (b, t, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((r_tile + 16, fC), x.dtype),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, R, fC), x.dtype),
+        interpret=interpret,
+    )(lengths, xfold, alpha_t, beta_t, tile_f(edge[:, 0]), tile_f(s_left),
+      tile_f(s_right))
+    return out.reshape(B, T, C)
+
 _E = 14       # replicate extension on each side of x
 _HL = 6       # input halo needed left of an output tile (right halo is 7)
 _WIN_PAD = 16  # DMA window extra rows: halo 13 rounded up to sublane tiling (8)

@@ -184,10 +184,57 @@ def antialias_activation_composite(x: jnp.ndarray, alpha: jnp.ndarray,
     return downsample2(y, up_len)
 
 
+def _folded_plan(T: int, C: int):
+    """(fold factor, row tile) for the lane-folded Pallas kernel, or None.
+
+    f is the smallest fold with f*C a lane multiple (128); the folded row
+    count T/f must factor into an 8-aligned tile.
+    """
+    f = 128 // math.gcd(C, 128)
+    if T % f:
+        return None
+    R = T // f
+    for rt in (256, 128, 64, 32, 16, 8):
+        if R % rt == 0:
+            return f, rt
+    return None
+
+
 def antialias_activation(x: jnp.ndarray, alpha: jnp.ndarray,
                          beta: Optional[jnp.ndarray],
                          lengths: Optional[jnp.ndarray] = None,
                          logscale: bool = True) -> jnp.ndarray:
+    """Anti-aliased snake activation — serving dispatcher.
+
+    On TPU, foldable shapes route to the lane-folded fused Pallas kernel
+    (`ops/pallas/antialias.py::fused_antialias_folded`): BigVGAN's late
+    stages run at C in {24..192} where the (T, C) layout wastes most of the
+    VPU lane width and the XLA composite materializes ~13 f32 intermediates
+    in HBM; the folded kernel reads x once and writes y once at full lane
+    width. Everything else (CPU tests, unfoldable shapes,
+    INDEXTTS_FUSED_ANTIALIAS=0) uses the XLA shift-and-sum below.
+    """
+    import os
+
+    B, T, C = x.shape
+    if os.environ.get("INDEXTTS_FUSED_ANTIALIAS", "1") != "0" \
+            and jax.default_backend() in ("tpu", "axon"):
+        plan = _folded_plan(T, C)
+        if plan is not None:
+            from indextts_tpu.ops.pallas.antialias import \
+                fused_antialias_folded
+
+            f, rt = plan
+            return fused_antialias_folded(
+                x, alpha, alpha if beta is None else beta, f, lengths,
+                logscale=logscale, r_tile=rt)
+    return antialias_activation_xla(x, alpha, beta, lengths, logscale)
+
+
+def antialias_activation_xla(x: jnp.ndarray, alpha: jnp.ndarray,
+                             beta: Optional[jnp.ndarray],
+                             lengths: Optional[jnp.ndarray] = None,
+                             logscale: bool = True) -> jnp.ndarray:
     """Fused Activation1d: polyphase shift-and-sum, no grouped convs/gathers.
 
     Exactly equal to `antialias_activation_composite` (== reference

@@ -183,11 +183,32 @@ def convert_conformer(sd: SD, num_blocks: int, input_layer: str, prefix: str = "
             "linear": linear(sd, prefix + "embed.out.0"),
             "norm": layer_norm(sd, prefix + "embed.out.1"),
         }
-    else:  # conv2d2
+    elif input_layer == "conv2d2":
         p["embed"] = {
             "conv": conv2d(sd, prefix + "embed.conv.0"),
             "out": linear(sd, prefix + "embed.out.0"),
         }
+    elif input_layer == "conv2d":     # Conv2dSubsampling4
+        p["embed"] = {
+            "conv": conv2d(sd, prefix + "embed.conv.0"),
+            "conv2": conv2d(sd, prefix + "embed.conv.2"),
+            "out": linear(sd, prefix + "embed.out.0"),
+        }
+    elif input_layer == "conv2d6":
+        p["embed"] = {
+            "conv": conv2d(sd, prefix + "embed.conv.0"),
+            "conv2": conv2d(sd, prefix + "embed.conv.2"),
+            "out": linear(sd, prefix + "embed.linear"),
+        }
+    elif input_layer == "conv2d8":
+        p["embed"] = {
+            "conv": conv2d(sd, prefix + "embed.conv.0"),
+            "conv2": conv2d(sd, prefix + "embed.conv.2"),
+            "conv3": conv2d(sd, prefix + "embed.conv.4"),
+            "out": linear(sd, prefix + "embed.linear"),
+        }
+    else:
+        raise ValueError(f"unsupported conformer input_layer {input_layer!r}")
     blocks = []
     for i in range(num_blocks):
         b = f"{prefix}encoders.{i}."

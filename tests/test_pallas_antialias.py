@@ -67,6 +67,38 @@ def test_fused_xla_matches_composite_varlen():
                     np.testing.assert_allclose(out[i, :L], ref[i, :L], atol=2e-5)
 
 
+@pytest.mark.parametrize("T,C,f", [(256, 24, 16), (512, 48, 8), (512, 96, 4),
+                                   (256, 192, 2), (1024, 384, 1)])
+def test_folded_matches_composite(rng, T, C, f):
+    """Folded-lane fused kernel == composite at every BigVGAN fold factor,
+    including short valid lengths (2x-rate edge replication)."""
+    from indextts_tpu.ops.pallas.antialias import fused_antialias_folded
+
+    B = 2
+    x = jnp.asarray(rng.standard_normal((B, T, C)) * 2, jnp.float32)
+    alpha = jnp.asarray(rng.standard_normal(C) * 0.3, jnp.float32)
+    beta = jnp.asarray(rng.standard_normal(C) * 0.3, jnp.float32)
+    lens = jnp.asarray([T, max(T - 37, 1)], jnp.int32)
+    ref = np.asarray(antialias_activation(x, alpha, beta, lens))
+    out = np.asarray(fused_antialias_folded(x, alpha, beta, f, lens,
+                                            r_tile=min(256, T // f),
+                                            interpret=True))
+    for b, L in enumerate(np.asarray(lens)):
+        np.testing.assert_allclose(out[b, :L], ref[b, :L], atol=2e-5,
+                                   rtol=1e-4)
+
+
+def test_folded_dispatch_shapes():
+    """snake.antialias_activation picks the folded kernel only at foldable
+    shapes; unfoldable shapes stay on the XLA composite path."""
+    from indextts_tpu.ops.snake import _folded_plan
+
+    assert _folded_plan(229376, 24) == (16, 256)
+    assert _folded_plan(3584, 768) == (1, 256)
+    assert _folded_plan(100, 24) is None          # T not divisible
+    assert _folded_plan(256, 17) is None          # no lane-aligned fold
+
+
 def test_int8_matvec_interpret_matches_dense():
     import jax.numpy as jnp
     import numpy as np

@@ -47,6 +47,37 @@ def test_gpt2_backbone_matches_hf():
     np.testing.assert_allclose(out, out_ref, atol=2e-4, rtol=1e-3)
 
 
+def test_conformer_parity_subsampling_4_6_8():
+    """Conv2dSubsampling4/6/8 input layers vs the executing torch reference
+    (reference gpt/conformer/subsampling.py:189-348)."""
+    from indextts.gpt.conformer_encoder import ConformerEncoder
+
+    for input_layer in ("conv2d", "conv2d6", "conv2d8"):
+        ref = ConformerEncoder(input_size=40, output_size=16, attention_heads=4,
+                               linear_units=32, num_blocks=1,
+                               input_layer=input_layer).eval()
+        d = ConformerDims(input_size=40, output_size=16, attention_heads=4,
+                          linear_units=32, num_blocks=1,
+                          input_layer=input_layer)
+        params = convert.convert_conformer(_sd(ref), 1, input_layer)
+
+        rng = np.random.default_rng(2)
+        B, T = 2, 45
+        x = rng.standard_normal((B, T, 40)).astype(np.float32)
+        lens = np.asarray([T, 30], np.int64)
+        with torch.no_grad():
+            out_ref, mask_ref = ref(torch.tensor(x), torch.tensor(lens))
+        out, mask = conformer_encode(params, d, jnp.asarray(x),
+                                     jnp.asarray(lens))
+        assert out.shape == tuple(out_ref.shape), (input_layer, out.shape,
+                                                   out_ref.shape)
+        np.testing.assert_array_equal(np.asarray(mask),
+                                      mask_ref.squeeze(1).numpy())
+        mr = mask_ref.squeeze(1).numpy()
+        np.testing.assert_allclose(np.asarray(out)[mr],
+                                   out_ref.numpy()[mr], atol=2e-4, rtol=1e-3)
+
+
 def test_conformer_parity_linear_and_conv2d2():
     from indextts.gpt.conformer_encoder import ConformerEncoder
 
