@@ -122,10 +122,13 @@ def main():
     print(f"single-segment: {dt:.2f}s wall for {secs:.2f}s audio -> "
           f"RTF {dt / max(secs, 1e-6):.4f}", file=sys.stderr)
 
-    # first-audio latency: short first segment via quick_streaming_tokens
-    # (first pass compiles the short-decode program; report the second)
+    # first-audio latency: short first segment via quick_streaming_tokens.
+    # First pass compiles the short-decode program; p50 over the post-warmup
+    # runs is the serving number (BASELINE.json target: < 300 ms).
+    first_audio_ms = None
     try:
-        for attempt in range(2):
+        lats = []
+        for attempt in range(4):
             tts._rng = jax.random.PRNGKey(0)
             t0 = time.perf_counter()
             gen = tts.infer(spk_audio_prompt=prompt, text=text_long,
@@ -133,11 +136,13 @@ def main():
                             min_new_tokens=59, num_beams=1,
                             stream_return=True, more_segment_before=8)
             next(gen)
-            first_audio = time.perf_counter() - t0
+            lats.append(time.perf_counter() - t0)
             for _ in gen:
                 pass
-        print(f"first-audio latency (short first segment, post-warmup): "
-              f"{first_audio * 1000:.0f} ms", file=sys.stderr)
+        post = sorted(lats[1:])
+        first_audio_ms = round(post[len(post) // 2] * 1000, 1)
+        print(f"first-audio latency p50 (short first segment, post-warmup): "
+              f"{first_audio_ms:.0f} ms", file=sys.stderr)
     except Exception as e:
         print(f"first-audio measurement failed: {e!r}", file=sys.stderr)
 
@@ -147,6 +152,7 @@ def main():
         "value": round(best, 5),
         "unit": "ratio",
         "vs_baseline": round(target / best, 3),
+        "first_audio_p50_ms": first_audio_ms,
     }))
 
 

@@ -265,22 +265,13 @@ class IndexTTS:
         cond_latents, embeds, mask = self._jit_prefix(
             self.gpt_params, cond_mel, cond_len, jnp.asarray(text_ids),
             jnp.asarray(tlens), prefix_len)
-        if sampling.num_beams > 1 and B == 1:
+        if sampling.num_beams > 1:
+            # batched (B, K) beams: every bucket row decodes in one program
+            # (engine/beam.py vmaps the scorer per row)
             codes, code_lens = generate_beam(
                 self.gpt_params, cfg.gpt, self.gpt_dims, embeds, mask,
                 self._next_rng(), max_new_tokens=max_mel_tokens,
                 sampling=sampling, dtype=self.dtype)
-        elif sampling.num_beams > 1:
-            # batched beams: run the beam engine per row (the bucketed batch
-            # amortizes the rest of the pipeline; beam decode stays exact)
-            outs = [generate_beam(self.gpt_params, cfg.gpt, self.gpt_dims,
-                                  embeds[b: b + 1], mask[b: b + 1],
-                                  self._next_rng(),
-                                  max_new_tokens=max_mel_tokens,
-                                  sampling=sampling, dtype=self.dtype)
-                    for b in range(B)]
-            codes = jnp.concatenate([o[0] for o in outs], axis=0)
-            code_lens = jnp.concatenate([o[1] for o in outs], axis=0)
         else:
             codes, code_lens = generate_adaptive(
                 self.gpt_params, cfg.gpt, self.gpt_dims, embeds, mask,
