@@ -54,19 +54,37 @@ class QwenEmotion:
         self._tried_load = False
 
     def _load(self):
+        """Load the fine-tuned Qwen as a JAX model (models/qwen.py) — the
+        whole emo-text path then runs on TPU with no torch in the loop. Only
+        the HF tokenizer (host-side chat template) is reused."""
         if self._tried_load:
             return
         self._tried_load = True
         if not os.path.isdir(self.model_dir):
             return
         try:
-            import torch
-            from transformers import AutoModelForCausalLM, AutoTokenizer
+            from transformers import AutoTokenizer
+
+            from indextts_tpu.models import qwen as jq
+            from indextts_tpu.utils import convert
 
             self.tokenizer = AutoTokenizer.from_pretrained(self.model_dir)
-            self.model = AutoModelForCausalLM.from_pretrained(
-                self.model_dir, torch_dtype="auto")
-            self.model.eval()
+            with open(os.path.join(self.model_dir, "config.json"),
+                      encoding="utf-8") as f:
+                self.qwen_cfg = jq.QwenConfig.from_hf(json.load(f))
+            ckpt = None
+            for cand in ("model.safetensors", "pytorch_model.bin"):
+                path = os.path.join(self.model_dir, cand)
+                if os.path.exists(path):
+                    ckpt = path
+                    break
+            if ckpt is None:
+                raise FileNotFoundError("no qwen checkpoint")
+            sd = convert.load_torch_state_dict(ckpt)
+            import jax
+
+            self.model = jax.device_put(
+                jq.convert_qwen(sd, self.qwen_cfg))
         except Exception as e:  # degrade-and-continue like the reference
             print(f">> QwenEmotion unavailable ({e!r}); using keyword fallback")
             self.model = None
@@ -107,23 +125,26 @@ class QwenEmotion:
         return self.convert(content)
 
     def _model_inference(self, text_input: str) -> Dict[str, float]:
-        import torch
+        import jax.numpy as jnp
+        import numpy as np
+
+        from indextts_tpu.models import qwen as jq
 
         messages = [{"role": "system", "content": self.prompt},
                     {"role": "user", "content": text_input}]
         text = self.tokenizer.apply_chat_template(
             messages, tokenize=False, add_generation_prompt=True,
             enable_thinking=False)
-        inputs = self.tokenizer([text], return_tensors="pt")
-        with torch.no_grad():
-            out = self.model.generate(**inputs, max_new_tokens=256,
-                                      pad_token_id=self.tokenizer.eos_token_id)
-        ids = out[0][inputs.input_ids.shape[1]:].tolist()
+        ids = np.asarray([self.tokenizer(text).input_ids], np.int32)
+        toks, lens = jq.qwen_generate_greedy(
+            self.model, self.qwen_cfg, jnp.asarray(ids),
+            jnp.ones(ids.shape, jnp.int32), max_new_tokens=256)
+        out = np.asarray(toks)[0][: int(np.asarray(lens)[0])].tolist()
         try:  # strip <think> section if present (token 151668 = </think>)
-            idx = len(ids) - ids[::-1].index(151668)
+            idx = len(out) - out[::-1].index(151668)
         except ValueError:
             idx = 0
-        content = self.tokenizer.decode(ids[idx:], skip_special_tokens=True)
+        content = self.tokenizer.decode(out[idx:], skip_special_tokens=True)
         try:
             return json.loads(content)
         except json.JSONDecodeError:
