@@ -48,9 +48,10 @@ def main():
             out = os.path.join(args.out_dir, f"{idx:02d}.wav")
             kwargs = {}
             mode = case.get("emo_mode", 0)
-            if mode == 1 and case.get("emo_ref_path"):
-                kwargs["emo_audio_prompt"] = os.path.join(
-                    "examples", case["emo_ref_path"])
+            emo_audio = case.get("emo_audio") or case.get("emo_ref_path")
+            if mode == 1 and emo_audio:
+                kwargs["emo_audio_prompt"] = os.path.join("examples",
+                                                          emo_audio)
                 kwargs["emo_alpha"] = case.get("emo_weight", 0.8)
             elif mode == 2:
                 kwargs["emo_vector"] = [case.get(f"emo_vec_{i}", 0.0)

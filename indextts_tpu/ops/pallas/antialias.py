@@ -19,13 +19,19 @@ Exact in the interior. At sequence edges the reference replicates the *2x-rate*
 signal (up[0] / up[2N-1]); the kernel applies that correction explicitly for
 the static left edge and the dynamic valid-length right edge.
 
-Measured on v5e (T=2048, C=768, bf16): ~4.5 ms vs ~3.2 ms for the XLA
-composite — the op is VPU-transcendental-bound (one sin per 2x-rate sample),
-not HBM-bound, and XLA already fuses the elementwise chain into the FIR convs,
-so unlike the reference's CUDA-vs-eager-torch situation there is no
-materialization to win back. The XLA path stays the default; the kernel is
-kept as the native-equivalent implementation and a base for further VPU
-scheduling work (phase-parallel sin, bf16 transcendentals).
+Two kernels live here:
+
+- `fused_antialias_folded` — the PRODUCTION path (dispatched by
+  `ops/snake.antialias_activation` on TPU). It folds f time steps into the
+  lane axis so BigVGAN's narrow-channel late stages (C in {24..192}) run at
+  full VPU width, with double-buffered HBM DMA. Measured on v5e at the
+  serving shapes (B=4, mel 896): whole-vocoder 635 -> ~415 ms vs the XLA
+  composite, wav diff at bf16 rounding.
+- `fused_antialias_activation` — the original unfolded tile kernel, kept for
+  C >= 128 shapes and as the simpler reference implementation. At (T=2048,
+  C=768, bf16) it measured ~4.5 ms vs ~3.2 ms XLA (the op is VPU-bound and
+  XLA fuses the elementwise chain well at full lane width), which is why the
+  folded layout — not fusion alone — is what finally beat XLA.
 """
 
 from __future__ import annotations
@@ -56,45 +62,69 @@ from indextts_tpu.ops.snake import down_filter, up_filter
 # ---------------------------------------------------------------------------
 
 def _folded_kernel(len_ref, x_ref, alpha_ref, beta_ref, edge_ref, sleft_ref,
-                   sright_ref, out_ref, scratch, sem, *, r_tile: int, f: int,
-                   C: int, n_tiles: int, logscale: bool, fup: np.ndarray,
-                   gdn: np.ndarray):
-    b = pl.program_id(0)
-    ti = pl.program_id(1)
+                   sright_ref, out_ref, scratch, sems, *, r_tile: int, f: int,
+                   C: int, n_tiles: int, n_batch: int, logscale: bool,
+                   fup: np.ndarray, gdn: np.ndarray):
+    pid = pl.program_id(0)
+    nt = n_tiles
+    total = n_batch * nt
+    b = pid // nt
+    ti = pid % nt
     fC = f * C
     base = 8                      # scratch row of the tile's first row
     r0 = ti * r_tile
 
-    # ---- DMA the tile window [r0-8, r0+r_tile+8) with edge clipping.
-    # Rows outside [0, R) stay uninitialized in scratch and are overwritten
-    # by the replicate-extension selects below (t_idx < 0 / >= length).
-    def dma(src_slice, dst_slice):
-        cp = pltpu.make_async_copy(x_ref.at[b, src_slice, :],
-                                   scratch.at[dst_slice, :], sem)
-        cp.start()
-        cp.wait()
+    # ---- double-buffered DMA: start tile pid+1's window into the other
+    # slot before computing tile pid, so the HBM read rides under the VPU
+    # work. Window is [r0-8, r0+r_tile+8) with edge clipping; rows outside
+    # [0, R) stay uninitialized and are overwritten by the replicate-
+    # extension selects below (t_idx < 0 / >= length).
+    def dma_obj(pid2, slot, src_slice, dst_slice):
+        b2 = pid2 // nt
+        return pltpu.make_async_copy(x_ref.at[b2, src_slice, :],
+                                     scratch.at[slot, dst_slice, :],
+                                     sems.at[slot])
 
-    r0m8 = pl.multiple_of(r0 - 8, 8)
-    if n_tiles == 1:
-        dma(pl.ds(0, r_tile), pl.ds(8, r_tile))
-    else:
-        first = ti == 0
-        last = ti == n_tiles - 1
+    def dma_do(pid2, slot, start):
+        ti2 = pid2 % nt
+        r02m8 = pl.multiple_of(ti2 * r_tile - 8, 8)
 
-        @pl.when(first)
-        def _():
-            dma(pl.ds(0, r_tile + 8), pl.ds(8, r_tile + 8))
+        def go(src, dst):
+            cp = dma_obj(pid2, slot, src, dst)
+            cp.start() if start else cp.wait()
 
-        @pl.when(last)
-        def _():
-            dma(pl.ds(r0m8, r_tile + 8), pl.ds(0, r_tile + 8))
+        if nt == 1:
+            go(pl.ds(0, r_tile), pl.ds(8, r_tile))
+        else:
+            first = ti2 == 0
+            last = ti2 == nt - 1
 
-        if n_tiles > 2:
-            @pl.when(jnp.logical_and(~first, ~last))
+            @pl.when(first)
             def _():
-                dma(pl.ds(r0m8, r_tile + 16), pl.ds(0, r_tile + 16))
+                go(pl.ds(0, r_tile + 8), pl.ds(8, r_tile + 8))
 
-    xt = scratch[:, :].astype(jnp.float32)          # (r_tile+16, fC)
+            @pl.when(last)
+            def _():
+                go(pl.ds(r02m8, r_tile + 8), pl.ds(0, r_tile + 8))
+
+            if nt > 2:
+                @pl.when(jnp.logical_and(~first, ~last))
+                def _():
+                    go(pl.ds(r02m8, r_tile + 16), pl.ds(0, r_tile + 16))
+
+    slot = pid % 2
+
+    @pl.when(pid == 0)
+    def _():
+        dma_do(pid, 0, start=True)
+
+    @pl.when(pid + 1 < total)
+    def _():
+        dma_do(pid + 1, (pid + 1) % 2, start=True)
+
+    dma_do(pid, slot, start=False)
+
+    xt = scratch[slot].astype(jnp.float32)          # (r_tile+16, fC)
 
     length = len_ref[b]
     lane_phase = jax.lax.broadcasted_iota(jnp.int32, (r_tile + 16, fC), 1) // C
@@ -125,14 +155,16 @@ def _folded_kernel(len_ref, x_ref, alpha_ref, beta_ref, edge_ref, sleft_ref,
         lane = jax.lax.broadcasted_iota(jnp.int32, (n, fC), 1)
         return jnp.where(lane < (f - r) * C, RW[0: n, :], RW[1: n + 1, :])
 
-    # ---- phases over rows [base-HR, base+r_tile+HR) ------------------------
+    # ---- phases over rows [base-HR, base+r_tile+HR); p0 needs shifts
+    # [-3, 2] and p1 [-2, 3], so compute each shifted window once ----------
     n_p = r_tile + 2 * HR
     p_lo = base - HR
+    G = {s: shift(xt, s, p_lo, n_p) for s in range(-3, 4)}
     p0 = jnp.zeros((n_p, fC), jnp.float32)
     p1 = jnp.zeros((n_p, fC), jnp.float32)
     for j in range(6):
-        p0 = p0 + (2.0 * float(fup[2 * j])) * shift(xt, j - 3, p_lo, n_p)
-        p1 = p1 + (2.0 * float(fup[2 * j + 1])) * shift(xt, j - 2, p_lo, n_p)
+        p0 = p0 + (2.0 * float(fup[2 * j])) * G[j - 3]
+        p1 = p1 + (2.0 * float(fup[2 * j + 1])) * G[j - 2]
 
     a = alpha_ref[0, :].astype(jnp.float32)
     bb = beta_ref[0, :].astype(jnp.float32)
@@ -229,33 +261,34 @@ def fused_antialias_folded(x: jnp.ndarray, alpha: jnp.ndarray,
     alpha_t = jnp.tile(alpha.reshape(1, C), (1, f))
     beta_t = jnp.tile(beta.reshape(1, C), (1, f))
 
+    nt = R // r_tile
     kernel = functools.partial(_folded_kernel, r_tile=r_tile, f=f, C=C,
-                               n_tiles=R // r_tile, logscale=logscale,
+                               n_tiles=nt, n_batch=B, logscale=logscale,
                                fup=fup, gdn=gdn)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,  # lengths
-            grid=(B, R // r_tile),
+            grid=(B * nt,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),   # folded x stays in HBM
-                pl.BlockSpec((1, fC), lambda b, t, *_: (0, 0),
+                pl.BlockSpec((1, fC), lambda p, *_: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, fC), lambda b, t, *_: (0, 0),
+                pl.BlockSpec((1, fC), lambda p, *_: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((B, fC), lambda b, t, *_: (0, 0),
+                pl.BlockSpec((B, fC), lambda p, *_: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((B, fC), lambda b, t, *_: (0, 0),
+                pl.BlockSpec((B, fC), lambda p, *_: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((B, fC), lambda b, t, *_: (0, 0),
+                pl.BlockSpec((B, fC), lambda p, *_: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((1, r_tile, fC),
-                                   lambda b, t, *_: (b, t, 0),
+                                   lambda p, *_, _nt=nt: (p // _nt, p % _nt, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((r_tile + 16, fC), x.dtype),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((2, r_tile + 16, fC), x.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((B, R, fC), x.dtype),

@@ -25,7 +25,14 @@ def save_params_npz(path: str, params: Dict[str, Any]) -> None:
     def name_of(kp):
         parts = []
         for k in kp:
-            parts.append(str(k.key) if hasattr(k, "key") else str(k.idx))
+            if hasattr(k, "key"):        # DictKey
+                parts.append(str(k.key))
+            elif hasattr(k, "idx"):      # SequenceKey / FlattenedIndexKey
+                parts.append(str(k.idx))
+            elif hasattr(k, "name"):     # GetAttrKey (namedtuple opt states)
+                parts.append(str(k.name))
+            else:
+                parts.append(str(k))
         return "/".join(parts)
 
     arrays = {name_of(kp): np.asarray(v) for kp, v in flat}
@@ -43,7 +50,14 @@ def load_params_npz(path: str, like: Dict[str, Any]) -> Dict[str, Any]:
     def name_of(kp):
         parts = []
         for k in kp:
-            parts.append(str(k.key) if hasattr(k, "key") else str(k.idx))
+            if hasattr(k, "key"):        # DictKey
+                parts.append(str(k.key))
+            elif hasattr(k, "idx"):      # SequenceKey / FlattenedIndexKey
+                parts.append(str(k.idx))
+            elif hasattr(k, "name"):     # GetAttrKey (namedtuple opt states)
+                parts.append(str(k.name))
+            else:
+                parts.append(str(k))
         return "/".join(parts)
 
     leaves = [data[name_of(kp)] for kp, _ in flat]
