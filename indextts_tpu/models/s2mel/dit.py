@@ -76,6 +76,16 @@ def _ada_ln(p: Params, x: jnp.ndarray, c: Optional[jnp.ndarray], eps: float) -> 
     return w * normed + b
 
 
+def stack_layer_list(layers):
+    """List of per-layer param dicts -> one dict of (L, ...)-stacked arrays
+    (the backbone runs as a lax.scan: one compiled layer body instead of
+    `depth` inlined copies — smaller programs, one flash-attention instance)."""
+    import numpy as _np
+
+    return jax.tree_util.tree_map(lambda *xs: _np.stack(
+        [_np.asarray(x) for x in xs]), *layers)
+
+
 def init_dit_backbone(rng: InitRng, cfg: DiTConfig) -> Params:
     D, H, Dh = cfg.hidden_dim, cfg.num_heads, cfg.head_dim
     inter = cfg.intermediate_size
@@ -94,7 +104,7 @@ def init_dit_backbone(rng: InitRng, cfg: DiTConfig) -> Params:
                 "w2": nn.dense_init(rng, inter, D, bias=False),
             },
         })
-    return {"layers": layers, "norm": _ada_ln_init(rng, D)}
+    return {"layers": stack_layer_list(layers), "norm": _ada_ln_init(rng, D)}
 
 
 def dit_backbone_forward(p: Params, cfg: DiTConfig, x: jnp.ndarray,
@@ -103,23 +113,29 @@ def dit_backbone_forward(p: Params, cfg: DiTConfig, x: jnp.ndarray,
                          lengths: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """x: (B, T, D), c: (B, 1, D) time conditioning, mask: (B, T) keep-mask.
 
-    Attention stays on nn.mha: inside the fused Euler scan XLA runs the
-    materialized softmax at ~0.56 ms/layer (T=1408), which is roofline for
-    the scores traffic, while the Pallas flash kernel measures 1.39 ms/call
-    at this (B=2, H=8, Dh=64) shape — low arithmetic intensity per grid
-    block. nn.mha_flash exists for shapes where flash wins.
+    Attention: full-T-block flash (nn.mha_flash) on TPU when lengths are
+    available and T is lane-aligned — it skips the (B, H, T, T) score
+    materialization and measured 3.3 ms vs 4.5 ms dense at (16, 8, 1152, 64)
+    on v5e (the default tiled flash was SLOWER than dense; the win only
+    appears with block_q == block_k == T). Dense masked softmax otherwise.
+    Pad query rows attend only the pad segment under flash; every consumer
+    masks by length downstream, so their garbage never escapes.
     """
+    import os
+
     B, T, D = x.shape
     H, Dh = cfg.num_heads, cfg.head_dim
-    del lengths
+    use_flash = (not cfg.is_causal and lengths is not None and T % 128 == 0
+                 and jax.default_backend() in ("tpu", "axon")
+                 and os.environ.get("INDEXTTS_FLASH_DIT", "1") != "0")
     attn_mask = None
     if mask is not None and not cfg.is_causal:
         attn_mask = mask[:, None, None, :].astype(bool)
     elif cfg.is_causal:
         attn_mask = jnp.tril(jnp.ones((T, T), bool))[None, None]
 
-    for lp in p["layers"]:
-        h = _ada_ln(lp["attention_norm"], x, c, cfg.norm_eps)
+    def body(xc, lp):
+        h = _ada_ln(lp["attention_norm"], xc, c, cfg.norm_eps)
         qkv = nn.dense(lp["attn"]["wqkv"], h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         # half-split rope: wqkv columns are pair-deinterleaved (random init
@@ -127,14 +143,22 @@ def dit_backbone_forward(p: Params, cfg: DiTConfig, x: jnp.ndarray,
         q = apply_rotary_emb_half(q.reshape(B, T, H, Dh), freqs_cis)
         k = apply_rotary_emb_half(k.reshape(B, T, H, Dh), freqs_cis)
         v = v.reshape(B, T, H, Dh)
-        out = nn.mha(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-                     v.transpose(0, 2, 1, 3), mask=attn_mask)
+        if use_flash:
+            out = nn.mha_flash(q.transpose(0, 2, 1, 3),
+                               k.transpose(0, 2, 1, 3),
+                               v.transpose(0, 2, 1, 3), lengths)
+        else:
+            out = nn.mha(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                         v.transpose(0, 2, 1, 3), mask=attn_mask)
         out = out.transpose(0, 2, 1, 3).reshape(B, T, H * Dh)
-        x = x + nn.dense(lp["attn"]["wo"], out)
-        h = _ada_ln(lp["ffn_norm"], x, c, cfg.norm_eps)
+        xc = xc + nn.dense(lp["attn"]["wo"], out)
+        h = _ada_ln(lp["ffn_norm"], xc, c, cfg.norm_eps)
         h = nn.dense(lp["ff"]["w2"],
-                     jax.nn.silu(nn.dense(lp["ff"]["w1"], h)) * nn.dense(lp["ff"]["w3"], h))
-        x = x + h
+                     jax.nn.silu(nn.dense(lp["ff"]["w1"], h))
+                     * nn.dense(lp["ff"]["w3"], h))
+        return xc + h, None
+
+    x, _ = jax.lax.scan(body, x, p["layers"])
     return _ada_ln(p["norm"], x, c, cfg.norm_eps)
 
 

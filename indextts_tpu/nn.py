@@ -328,14 +328,19 @@ def mha_flash(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     B, H, T, D = q.shape
     if jax.default_backend() in ("tpu", "axon") and T % 128 == 0:
         from jax.experimental.pallas.ops.tpu.flash_attention import (
-            SegmentIds, flash_attention)
+            BlockSizes, SegmentIds, flash_attention)
 
         seg = (jnp.arange(T)[None, :] < lengths[:, None]).astype(jnp.int32)
         dt = q.dtype
+        # full-T blocks: at DiT shapes (T~1152, Dh=64) one block per row
+        # avoids the tiled-softmax rescaling passes entirely and measured
+        # 3.3 ms vs 4.5 ms dense / 10+ ms with the default tiling (v5e, B=16)
+        bs = BlockSizes(block_q=T, block_k_major=T, block_k=T, block_b=1)
         out = flash_attention(q, k.astype(dt), v.astype(dt),
                               segment_ids=SegmentIds(q=seg, kv=seg),
                               causal=causal,
-                              sm_scale=1.0 / math.sqrt(D))
+                              sm_scale=1.0 / math.sqrt(D),
+                              block_sizes=bs)
         return out.astype(dt)
     mask = (jnp.arange(T)[None, :] < lengths[:, None])[:, None, None, :]
     if causal:

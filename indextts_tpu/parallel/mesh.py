@@ -81,12 +81,18 @@ def _spec_for_path(path: str, leaf) -> P:
         if "c_proj" in path and path.endswith("kernel") and ndim == 3:
             return spec(None, "tp", None)
         return spec()
-    # DiT layers (lists of dicts -> path contains attn/ff names)
+    # DiT layers (scan-stacked: (L, in, out) kernels; unstacked 2D kept for
+    # compatibility with ad-hoc trees)
     if "wqkv" in path or path.endswith("ff.w1.kernel") or path.endswith("ff.w3.kernel"):
+        if path.endswith("kernel") and ndim == 3:
+            return spec(None, None, "tp")
         if path.endswith("kernel") and ndim == 2:
             return spec(None, "tp")
-    if ("attn.wo" in path or path.endswith("ff.w2.kernel")) and ndim == 2:
-        return spec("tp", None)
+    if "attn.wo" in path or path.endswith("ff.w2.kernel"):
+        if path.endswith("kernel") and ndim == 3:
+            return spec(None, "tp", None)
+        if path.endswith("kernel") and ndim == 2:
+            return spec("tp", None)
     return spec()
 
 

@@ -319,6 +319,8 @@ def convert_dit(sd: SD, s2, prefix: str = "") -> dict:
                    "w3": linear(sd, b + "feed_forward.w3"),
                    "w2": linear(sd, b + "feed_forward.w2")},
         })
+    from indextts_tpu.models.s2mel.dit import stack_layer_list
+
     p: dict = {
         "x_embedder": linear(sd, prefix + "x_embedder"),
         "cond_projection": linear(sd, prefix + "cond_projection"),
@@ -326,7 +328,8 @@ def convert_dit(sd: SD, s2, prefix: str = "") -> dict:
                        "mlp2": linear(sd, prefix + "t_embedder.mlp.2")},
         "cond_x_merge_linear": linear(sd, prefix + "cond_x_merge_linear"),
         "skip_linear": linear(sd, prefix + "skip_linear"),
-        "transformer": {"layers": layers, "norm": _ada_ln(sd, prefix + "transformer.norm")},
+        "transformer": {"layers": stack_layer_list(layers),
+                        "norm": _ada_ln(sd, prefix + "transformer.norm")},
     }
     if cfg.final_layer_type == "wavenet":
         w = s2.wavenet
