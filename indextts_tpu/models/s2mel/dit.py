@@ -67,13 +67,18 @@ def _ada_ln_init(rng: InitRng, dim: int) -> Params:
 
 
 def _ada_ln(p: Params, x: jnp.ndarray, c: Optional[jnp.ndarray], eps: float) -> jnp.ndarray:
-    """AdaptiveLayerNorm (reference gpt_fast `model.py:20-38`). c: (B, 1, D)."""
+    """AdaptiveLayerNorm (reference gpt_fast `model.py:20-38`). c: (B, 1, D).
+
+    The modulation is computed in fp32 (c is the fp32 timestep embedding)
+    and the result cast back to the stream dtype — without the cast, fp32
+    silently promotes the whole backbone on the bf16 serving path (and
+    breaks the stacked-layer scan's carry typing)."""
     normed = nn.rms_norm(p["norm"], x, eps)
     if c is None:
         return normed
     wb = nn.dense(p["project"], c)
     w, b = jnp.split(wb, 2, axis=-1)
-    return w * normed + b
+    return (w * normed.astype(w.dtype) + b).astype(x.dtype)
 
 
 def stack_layer_list(layers):

@@ -326,22 +326,15 @@ def mha_flash(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     Requires T a multiple of 128 (our bucket sizes are).
     """
     B, H, T, D = q.shape
-    if jax.default_backend() in ("tpu", "axon") and T % 128 == 0:
-        from jax.experimental.pallas.ops.tpu.flash_attention import (
-            BlockSizes, SegmentIds, flash_attention)
+    if jax.default_backend() in ("tpu", "axon") and T % 128 == 0 \
+            and not causal:
+        # whole-score-matrix-in-VMEM kernel: at DiT lengths (T ~ 1.2k) the
+        # (T, T) scores fit on-chip, so this beats both the dense path (no
+        # HBM score materialization) and jax's tiled flash kernel (whose
+        # Mosaic payload also exceeds the axon relay's compile size limit)
+        from indextts_tpu.ops.pallas.attn import single_block_attention
 
-        seg = (jnp.arange(T)[None, :] < lengths[:, None]).astype(jnp.int32)
-        dt = q.dtype
-        # full-T blocks: at DiT shapes (T~1152, Dh=64) one block per row
-        # avoids the tiled-softmax rescaling passes entirely and measured
-        # 3.3 ms vs 4.5 ms dense / 10+ ms with the default tiling (v5e, B=16)
-        bs = BlockSizes(block_q=T, block_k_major=T, block_k=T, block_b=1)
-        out = flash_attention(q, k.astype(dt), v.astype(dt),
-                              segment_ids=SegmentIds(q=seg, kv=seg),
-                              causal=causal,
-                              sm_scale=1.0 / math.sqrt(D),
-                              block_sizes=bs)
-        return out.astype(dt)
+        return single_block_attention(q, k, v, lengths)
     mask = (jnp.arange(T)[None, :] < lengths[:, None])[:, None, None, :]
     if causal:
         mask = jnp.logical_and(mask, jnp.tril(jnp.ones((T, T), bool))[None, None])
