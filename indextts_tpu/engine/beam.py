@@ -104,7 +104,8 @@ def generate_beam(params: Params, cfg: GPTConfig, dims: GPT2Dims,
     seq = jnp.concatenate(
         [pe, _embed_mel_token(params, start_tok, 0, dtype)[:, None, :]], axis=1)
     seq_mask = jnp.concatenate([pm, jnp.ones((B * K, 1), bool)], axis=1)
-    kv = init_kv_cache(dims, B * K, S, dtype=dtype)
+    kv = init_kv_cache(dims, B * K, S, dtype=dtype,
+                       quantized=sampling.kv_quant)
     hidden, kv = gpt2_prefill(params["gpt"], seq, dims, seq_mask, kv)
     logits0 = mel_logits_from_hidden(params, hidden[:, -1, :]).reshape(B, K, V)
 
@@ -245,7 +246,7 @@ def generate_beam(params: Params, cfg: GPTConfig, dims: GPT2Dims,
         tokens, counts = jax.vmap(reorder, in_axes=(0, 0, 0, 0, None))(
             tokens, counts, nb, nt, step)
         gidx = (jnp.arange(B)[:, None] * K + nb).reshape(-1)
-        kv = {"k": kv["k"][:, gidx], "v": kv["v"][:, gidx]}
+        kv = {name: buf[:, gidx] for name, buf in kv.items()}
         kv_valid = kv_valid[gidx]
         row_done = row_done | row_is_done(ns, hs, step)
         return (rkeys, nb, nt, ns, hs, ht, hl, tokens, counts, kv, kv_valid,

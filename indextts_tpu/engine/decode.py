@@ -54,6 +54,9 @@ class SamplingConfig:
     num_beams: int = 1
     length_penalty: float = 0.0
     min_new_tokens: int = 0
+    # int8 KV cache (decode-side only; prefill attention stays exact).
+    # Halves the HBM cache traffic that dominates large-batch decode.
+    kv_quant: bool = False
 
 
 def _min_len_mask(logits, stop: int, step, min_new_tokens: int):
@@ -106,7 +109,7 @@ def generate(params: Params, cfg: GPTConfig, dims: GPT2Dims,
     seq = jnp.concatenate([prefix_embeds, start_emb[:, None, :]], axis=1)
     seq_mask = jnp.concatenate([prefix_mask, jnp.ones((B, 1), bool)], axis=1)
 
-    kv = init_kv_cache(dims, B, S, dtype=dtype)
+    kv = init_kv_cache(dims, B, S, dtype=dtype, quantized=sampling.kv_quant)
     hidden, kv = gpt2_prefill(params["gpt"], seq, dims, seq_mask, kv)
     logits0 = mel_logits_from_hidden(params, hidden[:, -1, :])
 
@@ -193,7 +196,8 @@ def _prefill_and_span(params: Params, cfg: GPTConfig, dims: GPT2Dims,
     start_emb = _embed_mel_token(params, start_tok, 0, dtype)
     seq = jnp.concatenate([prefix_embeds, start_emb[:, None, :]], axis=1)
     seq_mask = jnp.concatenate([prefix_mask, jnp.ones((B, 1), bool)], axis=1)
-    kv = init_kv_cache(dims, B, P + 1 + span_end, dtype=dtype)
+    kv = init_kv_cache(dims, B, P + 1 + span_end, dtype=dtype,
+                       quantized=sampling.kv_quant)
     hidden, kv = gpt2_prefill(params["gpt"], seq, dims, seq_mask, kv)
     logits0 = mel_logits_from_hidden(params, hidden[:, -1, :])
     kv_valid = jnp.zeros((B, P + 1 + span_end), bool)
@@ -298,8 +302,10 @@ def generate_adaptive(params: Params, cfg: GPTConfig, dims: GPT2Dims,
         if bool(fin) or int(st) >= max_new_tokens:
             break
         grow = nxt - (kv["k"].shape[2] - P - 1)
-        kv = {"k": jnp.pad(kv["k"], ((0, 0), (0, 0), (0, grow), (0, 0), (0, 0))),
-              "v": jnp.pad(kv["v"], ((0, 0), (0, 0), (0, grow), (0, 0), (0, 0)))}
+        # every cache entry (values and any quant scales) has S at axis 2
+        kv = {name: jnp.pad(buf, [(0, 0), (0, 0), (0, grow)]
+                            + [(0, 0)] * (buf.ndim - 3))
+              for name, buf in kv.items()}
         kv_valid = jnp.pad(kv_valid, ((0, 0), (0, grow)))
         state = _continue_span(params, cfg, dims,
                                (step, tokens, counts, kv, kv_valid, finished,

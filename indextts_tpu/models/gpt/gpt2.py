@@ -91,9 +91,33 @@ def quantize_gpt2_int8(params: Params) -> Params:
     return p
 
 
-def init_kv_cache(dims: GPT2Dims, batch: int, max_len: int, dtype=jnp.bfloat16) -> Dict:
+def init_kv_cache(dims: GPT2Dims, batch: int, max_len: int, dtype=jnp.bfloat16,
+                  quantized: bool = False) -> Dict:
+    """Dense KV cache. quantized=True stores int8 values with per-(position,
+    head) f32 scales — the decode loop is HBM-bound on cache reads at large
+    batch, and int8 halves that traffic (dequant fuses into the attention
+    matmul reads). Prefill attention always runs full precision; only what
+    the cache hands back to later steps is quantized."""
     shape = (dims.layers, batch, max_len, dims.heads, dims.head_dim)
-    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    if not quantized:
+        return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    sshape = shape[:-1]
+    return {"k": jnp.zeros(shape, jnp.int8), "v": jnp.zeros(shape, jnp.int8),
+            "ks": jnp.zeros(sshape, jnp.float32),
+            "vs": jnp.zeros(sshape, jnp.float32)}
+
+
+def _kv_quantize(x: jnp.ndarray):
+    """(..., Dh) -> (int8 values, f32 scale over the last axis)."""
+    xf = x.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(xf), axis=-1) / 127.0
+    safe = jnp.maximum(scale, 1e-8)
+    q = jnp.clip(jnp.round(xf / safe[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _kv_dequant(q: jnp.ndarray, scale: jnp.ndarray, dtype) -> jnp.ndarray:
+    return (q.astype(jnp.float32) * scale[..., None]).astype(dtype)
 
 
 def _attn_block(lp: Params, x: jnp.ndarray, dims: GPT2Dims,
@@ -150,17 +174,35 @@ def gpt2_prefill(params: Params, x: jnp.ndarray, dims: GPT2Dims,
     causal = jnp.tril(jnp.ones((T, T), dtype=bool))[None, None]
     mask = jnp.logical_and(causal, attn_mask[:, None, None, :].astype(bool))
 
+    quantized = "ks" in kv_cache
+
     def body(carry, inputs):
         xc = carry
-        lp, kc, vc = inputs
+        lp, cache = inputs
         h = nn.layer_norm(lp["ln_1"], xc)
         qkv = nn.dense(lp["attn"]["c_attn"], h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(B, T, dims.heads, dims.head_dim)
         k = k.reshape(B, T, dims.heads, dims.head_dim)
         v = v.reshape(B, T, dims.heads, dims.head_dim)
-        kc = jax.lax.dynamic_update_slice(kc, k.astype(kc.dtype), (0, 0, 0, 0))
-        vc = jax.lax.dynamic_update_slice(vc, v.astype(vc.dtype), (0, 0, 0, 0))
+        if quantized:
+            kq, ks = _kv_quantize(k)
+            vq, vs = _kv_quantize(v)
+            cache = dict(cache)
+            cache["k"] = jax.lax.dynamic_update_slice(cache["k"], kq,
+                                                      (0, 0, 0, 0))
+            cache["v"] = jax.lax.dynamic_update_slice(cache["v"], vq,
+                                                      (0, 0, 0, 0))
+            cache["ks"] = jax.lax.dynamic_update_slice(cache["ks"], ks,
+                                                       (0, 0, 0))
+            cache["vs"] = jax.lax.dynamic_update_slice(cache["vs"], vs,
+                                                       (0, 0, 0))
+        else:
+            cache = dict(cache)
+            cache["k"] = jax.lax.dynamic_update_slice(
+                cache["k"], k.astype(cache["k"].dtype), (0, 0, 0, 0))
+            cache["v"] = jax.lax.dynamic_update_slice(
+                cache["v"], v.astype(cache["v"].dtype), (0, 0, 0, 0))
         out = nn.mha(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
                      v.transpose(0, 2, 1, 3), mask=mask)
         out = out.transpose(0, 2, 1, 3).reshape(B, T, D)
@@ -168,10 +210,11 @@ def gpt2_prefill(params: Params, x: jnp.ndarray, dims: GPT2Dims,
         h = nn.layer_norm(lp["ln_2"], xc)
         h = nn.gelu_new(nn.dense(lp["mlp"]["c_fc"], h))
         xc = xc + nn.dense(lp["mlp"]["c_proj"], h)
-        return xc, (kc, vc)
+        return xc, cache
 
-    x, (k_new, v_new) = jax.lax.scan(body, x, (params["h"], kv_cache["k"], kv_cache["v"]))
-    return nn.layer_norm(params["ln_f"], x), {"k": k_new, "v": v_new}
+    layer_caches = {key: kv_cache[key] for key in kv_cache}
+    x, new_cache = jax.lax.scan(body, x, (params["h"], layer_caches))
+    return nn.layer_norm(params["ln_f"], x), new_cache
 
 
 def gpt2_decode_step(params: Params, x: jnp.ndarray, dims: GPT2Dims,
@@ -197,19 +240,48 @@ def gpt2_decode_step(params: Params, x: jnp.ndarray, dims: GPT2Dims,
     # int8 weights during the current layer's compute, which per-call Pallas
     # kernels cannot (measured 1.23 ms/step XLA vs 1.43 fused-Pallas-MLP vs
     # 1.57 per-matmul Pallas at S=321; kernels kept in ops/pallas/int8_matmul).
+    quantized = "ks" in kv_cache
+
     def body(carry, inputs):
-        xc, kfull, vfull = carry                          # xc: (B, D)
+        xc, cache = carry                                 # xc: (B, D)
         lp, li = inputs
         h = nn.layer_norm(lp["ln_1"], xc)
         qkv = nn.dense(lp["attn"]["c_attn"], h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(B, 1, dims.heads, dims.head_dim)
-        k = k.reshape(B, 1, dims.heads, dims.head_dim).astype(kfull.dtype)
-        v = v.reshape(B, 1, dims.heads, dims.head_dim).astype(vfull.dtype)
-        kfull = jax.lax.dynamic_update_slice(kfull, k[None], (li, 0, pos, 0, 0))
-        vfull = jax.lax.dynamic_update_slice(vfull, v[None], (li, 0, pos, 0, 0))
-        kc = jax.lax.dynamic_index_in_dim(kfull, li, 0, keepdims=False)
-        vc = jax.lax.dynamic_index_in_dim(vfull, li, 0, keepdims=False)
+        k = k.reshape(B, 1, dims.heads, dims.head_dim)
+        v = v.reshape(B, 1, dims.heads, dims.head_dim)
+        cache = dict(cache)
+        if quantized:
+            kq, ks = _kv_quantize(k)
+            vq, vs = _kv_quantize(v)
+            cache["k"] = jax.lax.dynamic_update_slice(
+                cache["k"], kq[None], (li, 0, pos, 0, 0))
+            cache["v"] = jax.lax.dynamic_update_slice(
+                cache["v"], vq[None], (li, 0, pos, 0, 0))
+            cache["ks"] = jax.lax.dynamic_update_slice(
+                cache["ks"], ks[None], (li, 0, pos, 0))
+            cache["vs"] = jax.lax.dynamic_update_slice(
+                cache["vs"], vs[None], (li, 0, pos, 0))
+            kc = _kv_dequant(
+                jax.lax.dynamic_index_in_dim(cache["k"], li, 0, keepdims=False),
+                jax.lax.dynamic_index_in_dim(cache["ks"], li, 0, keepdims=False),
+                xc.dtype)
+            vc = _kv_dequant(
+                jax.lax.dynamic_index_in_dim(cache["v"], li, 0, keepdims=False),
+                jax.lax.dynamic_index_in_dim(cache["vs"], li, 0, keepdims=False),
+                xc.dtype)
+        else:
+            cache["k"] = jax.lax.dynamic_update_slice(
+                cache["k"], k.astype(cache["k"].dtype)[None],
+                (li, 0, pos, 0, 0))
+            cache["v"] = jax.lax.dynamic_update_slice(
+                cache["v"], v.astype(cache["v"].dtype)[None],
+                (li, 0, pos, 0, 0))
+            kc = jax.lax.dynamic_index_in_dim(cache["k"], li, 0,
+                                              keepdims=False)
+            vc = jax.lax.dynamic_index_in_dim(cache["v"], li, 0,
+                                              keepdims=False)
         # attention over the whole cache, masked to valid slots
         qh = q.transpose(0, 2, 1, 3)                      # (B, H, 1, Dh)
         kh = kc.transpose(0, 2, 1, 3)                     # (B, H, S, Dh)
@@ -221,13 +293,13 @@ def gpt2_decode_step(params: Params, x: jnp.ndarray, dims: GPT2Dims,
         h = nn.layer_norm(lp["ln_2"], xc)
         h = nn.gelu_new(nn.dense(lp["mlp"]["c_fc"], h))
         xc = xc + nn.dense(lp["mlp"]["c_proj"], h)
-        return (xc, kfull, vfull), None
+        return (xc, cache), None
 
     import os
 
     unroll = int(os.environ.get("INDEXTTS_DECODE_UNROLL", "1"))
-    (x, k_new, v_new), _ = jax.lax.scan(
-        body, (x, kv_cache["k"], kv_cache["v"]),
+    (x, new_cache), _ = jax.lax.scan(
+        body, (x, {key: kv_cache[key] for key in kv_cache}),
         (params["h"], jnp.arange(dims.layers)), unroll=unroll)
     x = nn.layer_norm(params["ln_f"], x)
-    return x, {"k": k_new, "v": v_new}
+    return x, new_cache

@@ -271,7 +271,8 @@ class IndexTTS2:
         for name in ("gpt_params", "s2mel_params", "codec_params",
                      "bigvgan_params", "w2v_params"):
             tree = nn.cast_tree(getattr(self, name), self.dtype)
-            if name == "gpt_params" and self.quantization == "int8":
+            if name == "gpt_params" and self.quantization in ("int8",
+                                                              "int8kv"):
                 # weight-only int8 for the decode hot path (HBM-bound);
                 # scales stay fp32
                 from indextts_tpu.models.gpt.gpt2 import quantize_gpt2_int8
@@ -693,7 +694,8 @@ class IndexTTS2:
             num_beams=int(num_beams), length_penalty=float(length_penalty),
             typical_sampling=bool(typical_sampling),
             typical_mass=float(typical_mass),
-            min_new_tokens=int(min_new_tokens))
+            min_new_tokens=int(min_new_tokens),
+            kv_quant=self.quantization == "int8kv")
 
         wavs = []
         gpt_gen_time = gpt_forward_time = s2mel_time = bigvgan_time = 0.0

@@ -221,3 +221,54 @@ def test_generate_adaptive_matches_generate(uv_params, dims):
                                          dtype=jnp.float32, spans=(4, 9, 14))
         np.testing.assert_array_equal(np.asarray(ref_c), np.asarray(ada_c))
         np.testing.assert_array_equal(np.asarray(ref_l), np.asarray(ada_l))
+
+
+def test_decode_step_int8_kv_close():
+    """int8 KV cache decode stays numerically close to the bf16 cache
+    (per-position, per-head scales; error ~1/127 of the value range)."""
+    from indextts_tpu.models.gpt.gpt2 import (GPT2Dims, gpt2_decode_step,
+                                              gpt2_prefill, init_gpt2,
+                                              init_kv_cache)
+
+    dims = GPT2Dims(2, 32, 4)
+    params = init_gpt2(InitRng(0), dims)
+    B, T, S = 2, 5, 9
+    outs = []
+    for quant in (False, True):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((B, T, dims.dim)), jnp.float32)
+        xt = jnp.asarray(rng.standard_normal((B, dims.dim)), jnp.float32)
+        mask = jnp.ones((B, T), bool)
+        kv = init_kv_cache(dims, B, S, dtype=jnp.float32, quantized=quant)
+        h, kv = gpt2_prefill(params, x, dims, mask, kv)
+        kv_valid = jnp.zeros((B, S), bool).at[:, :T].set(True)
+        hs = []
+        for step in range(3):
+            kv_valid = kv_valid.at[:, T + step].set(True)
+            ht, kv = gpt2_decode_step(params, xt, dims, jnp.int32(T + step),
+                                      kv, kv_valid)
+            hs.append(np.asarray(ht))
+        outs.append(np.stack(hs))
+    ref, got = outs
+    rel = np.max(np.abs(ref - got)) / (np.max(np.abs(ref)) + 1e-9)
+    assert rel < 0.01, rel
+
+
+def test_generate_int8_kv_runs_and_matches_mostly():
+    params = init_unified_voice(InitRng(4), TINY)
+    dims = gpt2.GPT2Dims(TINY.layers, TINY.model_dim, TINY.heads)
+    text = jnp.asarray([[5, 6, 7, 8]], jnp.int32)
+    conds = jnp.zeros((1, 3, TINY.model_dim), jnp.float32)
+    emb, mask = prepare_prefix_embeds(params, TINY, conds, text,
+                                      jnp.asarray([4]), 9)
+    s0 = SamplingConfig(do_sample=False, repetition_penalty=1.0)
+    s1 = SamplingConfig(do_sample=False, repetition_penalty=1.0,
+                        kv_quant=True)
+    c0, l0 = generate(params, TINY, dims, emb, mask, jax.random.PRNGKey(0),
+                      max_new_tokens=8, sampling=s0, dtype=jnp.float32)
+    c1, l1 = generate(params, TINY, dims, emb, mask, jax.random.PRNGKey(0),
+                      max_new_tokens=8, sampling=s1, dtype=jnp.float32)
+    c0, c1 = np.asarray(c0)[0], np.asarray(c1)[0]
+    n = min(int(np.asarray(l0)[0]), int(np.asarray(l1)[0]), 8)
+    agree = float(np.mean(c0[:max(n, 1)] == c1[:max(n, 1)]))
+    assert agree >= 0.75, (agree, c0, c1)
