@@ -42,6 +42,42 @@ from indextts_tpu.nn import Params
 from indextts_tpu.ops.sampling import sample_logits
 
 
+def _fused_decode_ok(params: Params, dims: GPT2Dims, B: int,
+                     kv_quant: bool) -> bool:
+    """Route the decode step through the fused multi-layer Pallas kernel
+    (`ops/pallas/decode_step.py`) when the shapes/platform support it (the
+    cache is then sized by `_cache_len`, which 128-aligns the span)."""
+    import os
+
+    if os.environ.get("INDEXTTS_FUSED_DECODE", "0") == "0":
+        return False
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    try:
+        quantized = "q" in params["gpt"]["h"]["attn"]["c_attn"]
+    except (KeyError, TypeError):
+        quantized = False
+    return (quantized and not kv_quant and B <= 8
+            and dims.dim % 640 == 0 and (4 * dims.dim) % 640 == 0)
+
+
+def _cache_len(P: int, span: int, fused: bool) -> int:
+    """Cache size for prefix P + 1 start token + `span` generated tokens;
+    the fused kernel streams the cache in 128-slot blocks, so round up
+    (extra slots stay kv_valid=False)."""
+    S = P + 1 + span
+    return -(-S // 128) * 128 if fused else S
+
+
+def _decode_step(fused: bool, params: Params, x, dims: GPT2Dims, pos, kv,
+                 kv_valid):
+    if fused:
+        from indextts_tpu.ops.pallas.decode_step import fused_decode_step
+
+        return fused_decode_step(params["gpt"], x, dims, pos, kv, kv_valid)
+    return gpt2_decode_step(params["gpt"], x, dims, pos, kv, kv_valid)
+
+
 @dataclass(frozen=True)
 class SamplingConfig:
     do_sample: bool = True
@@ -98,7 +134,8 @@ def generate(params: Params, cfg: GPTConfig, dims: GPT2Dims,
     """
     B, P, D = prefix_embeds.shape
     V = cfg.number_mel_codes
-    S = P + 1 + max_new_tokens
+    fused = _fused_decode_ok(params, dims, B, sampling.kv_quant)
+    S = _cache_len(P, max_new_tokens, fused)
     stop = cfg.stop_mel_token
 
     prefix_embeds = prefix_embeds.astype(dtype)
@@ -149,7 +186,7 @@ def generate(params: Params, cfg: GPTConfig, dims: GPT2Dims,
         x = _embed_mel_token(params, prev_tok, step + 1, dtype)
         pos = P + 1 + step  # absolute cache slot
         kv_valid = kv_valid.at[:, pos].set(True)
-        h, kv = gpt2_decode_step(params["gpt"], x, dims, pos, kv, kv_valid)
+        h, kv = _decode_step(fused, params, x, dims, pos, kv, kv_valid)
         logits = mel_logits_from_hidden(params, h)
         logits = _min_len_mask(logits, stop, step, sampling.min_new_tokens)
         rng, r = jax.random.split(rng)
@@ -196,11 +233,12 @@ def _prefill_and_span(params: Params, cfg: GPTConfig, dims: GPT2Dims,
     start_emb = _embed_mel_token(params, start_tok, 0, dtype)
     seq = jnp.concatenate([prefix_embeds, start_emb[:, None, :]], axis=1)
     seq_mask = jnp.concatenate([prefix_mask, jnp.ones((B, 1), bool)], axis=1)
-    kv = init_kv_cache(dims, B, P + 1 + span_end, dtype=dtype,
-                       quantized=sampling.kv_quant)
+    fused = _fused_decode_ok(params, dims, B, sampling.kv_quant)
+    S0 = _cache_len(P, span_end, fused)
+    kv = init_kv_cache(dims, B, S0, dtype=dtype, quantized=sampling.kv_quant)
     hidden, kv = gpt2_prefill(params["gpt"], seq, dims, seq_mask, kv)
     logits0 = mel_logits_from_hidden(params, hidden[:, -1, :])
-    kv_valid = jnp.zeros((B, P + 1 + span_end), bool)
+    kv_valid = jnp.zeros((B, S0), bool)
     kv_valid = jax.lax.dynamic_update_slice(kv_valid, seq_mask, (0, 0))
 
     counts = jnp.zeros((B, V), jnp.int32)
@@ -233,13 +271,16 @@ def _decode_span_body(params, cfg, dims, state, P, start, end, max_new_tokens,
         step, _, _, _, _, finished, _, _ = st
         return jnp.logical_and(step < end, ~jnp.all(finished))
 
+    B_ = state[1].shape[0]
+    fused = _fused_decode_ok(params, dims, B_, sampling.kv_quant)
+
     def body(st):
         step, tokens, counts, kv, kv_valid, finished, lengths, rng = st
         prev_tok = tokens[:, step - 1]
         x = _embed_mel_token(params, prev_tok, step + 1, dtype)
         pos = P + 1 + step
         kv_valid = kv_valid.at[:, pos].set(True)
-        h, kv = gpt2_decode_step(params["gpt"], x, dims, pos, kv, kv_valid)
+        h, kv = _decode_step(fused, params, x, dims, pos, kv, kv_valid)
         logits = mel_logits_from_hidden(params, h)
         logits = _min_len_mask(logits, stop, step, sampling.min_new_tokens)
         rng, r = jax.random.split(rng)
@@ -257,7 +298,6 @@ def _decode_span_body(params, cfg, dims, state, P, start, end, max_new_tokens,
         finished = jnp.logical_or(finished, tok == stop)
         return step + 1, tokens, counts, kv, kv_valid, finished, lengths, rng
 
-    B_ = state[1].shape[0]
     return jax.lax.while_loop(cond, body, state)
 
 
@@ -301,7 +341,8 @@ def generate_adaptive(params: Params, cfg: GPTConfig, dims: GPT2Dims,
         fin, st = jax.device_get((jnp.all(finished), step))
         if bool(fin) or int(st) >= max_new_tokens:
             break
-        grow = nxt - (kv["k"].shape[2] - P - 1)
+        fused = _fused_decode_ok(params, dims, B, sampling.kv_quant)
+        grow = _cache_len(P, nxt, fused) - kv["k"].shape[2]
         # every cache entry (values and any quant scales) has S at axis 2
         kv = {name: jnp.pad(buf, [(0, 0), (0, 0), (0, grow)]
                             + [(0, 0)] * (buf.ndim - 3))

@@ -1,0 +1,431 @@
+"""Fused multi-layer GPT decode step — manual-DMA Pallas TPU kernel.
+
+The AR decode loop is HBM-bound: every token reads all 24 layers' int8
+weights (~483 MB) plus the KV cache (~250-500 MB at serving batch/span).
+XLA's `lax.scan` decode (`models/gpt/gpt2.py::gpt2_decode_step`) sustains
+~2.05 ms/token at (B=4, span 512) — ~2.2x off the HBM roofline — because
+each layer boundary re-materializes activations, the dequant/matmul/update
+chain fragments into separate fusions, and the cache dynamic-update round
+trips through HBM.
+
+This kernel runs the ENTIRE stacked-layer step as ONE Pallas program
+(grid = layers, activations resident in VMEM):
+
+- weight streaming: the four dense kernels are cut into (1280, 640) /
+  (640, 1280) int8 blocks and double-buffered HBM->VMEM with explicit
+  `make_async_copy`, prefetching across layer boundaries so HBM never goes
+  idle (the cross-layer overlap a per-matmul `pallas_call` cannot express —
+  measured 1.57 ms per-matmul vs 1.23 XLA in round 1; see
+  `ops/pallas/int8_matmul.py`).
+- attention: online-softmax (flash) over the layer's KV cache streamed in
+  (B, 64, D) blocks with the same double buffering; blocks entirely past
+  `pos` are skipped (DMA never issued). The current token's k/v fold in as
+  a final virtual block, and are emitted as (L, B, D) outputs for the
+  caller's O(1) cache update (writing 1 dynamic row from inside the kernel
+  would hit Mosaic's 8-aligned sublane DMA restriction).
+- numerics: matches the XLA path's rounding chain — int8 weights cast to
+  bf16 into the MXU (f32 accumulate), per-channel scale + bias in f32,
+  activations rounded to bf16 at every dense boundary, LayerNorm/softmax in
+  f32 (`nn.dense` / `nn.layer_norm` / `nn.mha` semantics).
+
+Reference analogue: the accel engine's CUDA-graph decode + paged flash-attn
+(`/root/reference/indextts/accel/accel_engine.py:221-376`,
+`accel/attention.py:107-154`) — here the graph capture is the single fused
+kernel and the page table is a dense span bucket.
+
+Constraints: D=1280-class dims (D, 3D, 4D multiples of 640), B <= 8 (pad
+rows; kv_valid all-False marks dead rows), span S a multiple of 128, bf16
+cache. Verified against `gpt2_decode_step` in tests/test_decode_kernel.py
+(interpret mode on CPU + device parity).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from indextts_tpu.models.gpt.gpt2 import GPT2Dims
+
+
+# weight N/K block width: divides 1280/3840/5120; (1280, 640) int8 = 819 KB
+# keeps the double-buffered pools (2 pools x 2 slots) under 3.3 MB of VMEM.
+_BN = 640
+# KV stream block: (8, 64, 1280) bf16 = 1.3 MB -> 5.2 MB for 2 arrays x 2 slots
+_BS = 64
+
+
+def _nwb(D: int, F: int) -> Tuple[int, int, int]:
+    """(#qkv blocks, #proj blocks, #fc blocks) in the (D, _BN) pool."""
+    return 3 * D // _BN, D // _BN, F // _BN
+
+
+def _kernel(pos_ref, x_ref, ln1w_ref, ln1b_ref, ln2w_ref, ln2b_ref,
+            sqkv_ref, bqkv_ref, sproj_ref, bproj_ref, sfc_ref, bfc_ref,
+            sp2_ref, bp2_ref, kv_valid_ref,
+            wqkv_ref, wproj_ref, wfc_ref, wp2_ref, ck_ref, cv_ref,
+            xo_ref, kn_ref, vn_ref,
+            xc_ref, qkv_ref, wbuf, pbuf, kbuf, vbuf,
+            wsem, psem, ksem, vsem,
+            *, L: int, B: int, D: int, F: int, H: int, S: int):
+    l = pl.program_id(0)
+    Dh = D // H
+    nq, npj, nf = _nwb(D, F)
+    nw = nq + npj + nf          # (D, _BN) pool blocks per layer
+    np2 = F // _BN              # (_BN, D) pool blocks per layer
+    ns = S // _BS               # kv blocks per layer
+    scale = 1.0 / math.sqrt(Dh)
+    pos = pos_ref[0]
+
+    # ---- DMA helpers ------------------------------------------------------
+    def w_src(li, j):
+        """(1280, _BN)-pool block j of layer li (static j)."""
+        if j < nq:
+            return wqkv_ref.at[li, :, pl.ds(j * _BN, _BN)]
+        if j < nq + npj:
+            return wproj_ref.at[li, :, pl.ds((j - nq) * _BN, _BN)]
+        return wfc_ref.at[li, :, pl.ds((j - nq - npj) * _BN, _BN)]
+
+    def w_start(li, j, slot):
+        pltpu.make_async_copy(w_src(li, j), wbuf.at[slot],
+                              wsem.at[slot]).start()
+
+    def w_next(j):
+        """After consuming pool block j of layer l, refill its slot with
+        block j+2 (crossing into layer l+1 for the last two)."""
+        slot = j % 2
+        if j + 2 < nw:
+            w_start(l, j + 2, slot)
+        else:
+            @pl.when(l + 1 < L)
+            def _():
+                w_start(l + 1, j + 2 - nw, slot)
+
+    def p_start(li, j, slot):
+        pltpu.make_async_copy(wp2_ref.at[li, pl.ds(j * _BN, _BN), :],
+                              pbuf.at[slot], psem.at[slot]).start()
+
+    def p_next(j):
+        slot = j % 2
+        if j + 2 < np2:
+            p_start(l, j + 2, slot)
+        else:
+            @pl.when(l + 1 < L)
+            def _():
+                p_start(l + 1, j + 2 - np2, slot)
+
+    def kv_used(i):
+        # block i holds slots [i*_BS, (i+1)*_BS); slots <= pos are live
+        return i * _BS <= pos
+
+    def kv_start(li, i, slot):
+        @pl.when(kv_used(i))
+        def _():
+            pltpu.make_async_copy(ck_ref.at[li, :, pl.ds(i * _BS, _BS), :],
+                                  kbuf.at[slot], ksem.at[slot]).start()
+            pltpu.make_async_copy(cv_ref.at[li, :, pl.ds(i * _BS, _BS), :],
+                                  vbuf.at[slot], vsem.at[slot]).start()
+
+    def kv_start_next(i, slot):
+        """From attention block i of layer l, refill `slot` with block i+2 —
+        rolling into layer l+1's blocks 0/1 past the end (ns is even, so the
+        slot parity lines up with the next layer's loop start). i is dynamic
+        (fori_loop); skipped blocks are never DMA'd."""
+        roll = i + 2 >= ns
+        nxt_l = jnp.where(roll, l + 1, l)
+        nxt_i = jnp.where(roll, i + 2 - ns, i + 2)
+
+        @pl.when(jnp.logical_and(nxt_l < L, kv_used(nxt_i)))
+        def _():
+            pltpu.make_async_copy(
+                ck_ref.at[nxt_l, :, pl.ds(nxt_i * _BS, _BS), :],
+                kbuf.at[slot], ksem.at[slot]).start()
+            pltpu.make_async_copy(
+                cv_ref.at[nxt_l, :, pl.ds(nxt_i * _BS, _BS), :],
+                vbuf.at[slot], vsem.at[slot]).start()
+
+    # ---- prime the pipelines (first grid step only) -----------------------
+    @pl.when(l == 0)
+    def _():
+        w_start(0, 0, 0)
+        w_start(0, 1, 1)
+        p_start(0, 0, 0)
+        p_start(0, 1, 1)
+        kv_start(0, 0, 0)
+        kv_start(0, 1, 1)
+        xc_ref[...] = x_ref[...]
+
+    x = xc_ref[...]                                       # (B, D) bf16
+
+    def layer_norm(xin, w, b):
+        xf = xin.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+        y = (xf - mu) * jax.lax.rsqrt(var + 1e-5)
+        return (y * w + b).astype(xin.dtype)
+
+    def consume_w(j, xin):
+        """wait pool block j, return xin @ wblk (f32, no scale/bias)."""
+        slot = j % 2
+        pltpu.make_async_copy(w_src(l, j), wbuf.at[slot],
+                              wsem.at[slot]).wait()
+        wv = wbuf[slot].astype(jnp.bfloat16)
+        acc = jnp.dot(xin, wv, preferred_element_type=jnp.float32)
+        w_next(j)
+        return acc
+
+    # ---- qkv projection ---------------------------------------------------
+    h1 = layer_norm(x, ln1w_ref[0, 0], ln1b_ref[0, 0])
+    for j in range(nq):
+        acc = consume_w(j, h1)
+        acc = acc * sqkv_ref[0, 0, pl.ds(j * _BN, _BN)] \
+            + bqkv_ref[0, 0, pl.ds(j * _BN, _BN)]
+        qkv_ref[:, pl.ds(j * _BN, _BN)] = acc.astype(jnp.bfloat16)
+
+    qkv = qkv_ref[...]                                    # (B, 3D) bf16
+    q = qkv[:, :D].astype(jnp.float32) * scale
+    k_cur = qkv[:, D:2 * D]
+    v_cur = qkv[:, 2 * D:]
+    kn_ref[0] = k_cur
+    vn_ref[0] = v_cur
+
+    # ---- attention: online softmax over kv blocks + current token ---------
+    # per-head running (m, l, o) packed as (B, H->128) and (B, D)
+    neg = jnp.float32(-1e9)
+    m0 = jnp.full((B, 128), neg, jnp.float32)
+    l0 = jnp.zeros((B, 128), jnp.float32)
+    o0 = jnp.zeros((B, D), jnp.float32)
+
+    def attn_block(i, carry):
+        m_all, l_all, o_all, slot = carry
+        kc = pltpu.make_async_copy(
+            ck_ref.at[l, :, pl.ds(i * _BS, _BS), :], kbuf.at[slot],
+            ksem.at[slot])
+        vc = pltpu.make_async_copy(
+            cv_ref.at[l, :, pl.ds(i * _BS, _BS), :], vbuf.at[slot],
+            vsem.at[slot])
+
+        @pl.when(kv_used(i))
+        def _():
+            kc.wait()
+            vc.wait()
+
+        kb = kbuf[slot]                                   # (B, _BS, D) bf16
+        vb = vbuf[slot]
+        valid = (kv_valid_ref[:, pl.ds(i * _BS, _BS)] != 0)  # (B, _BS)
+        valid = jnp.logical_and(valid, kv_used(i))
+        # slot `pos` belongs to the current token (cache row not yet
+        # written); it enters via the explicit current-token term below
+        gidx = i * _BS + jax.lax.broadcasted_iota(jnp.int32, (1, _BS), 1)
+        valid = jnp.logical_and(valid, gidx != pos)
+        kv_start_next(i, slot)
+
+        m_new, l_new, o_new = m_all, l_all, o_all
+        for h in range(H):
+            qh = q[:, h * Dh:(h + 1) * Dh]                # (B, Dh) f32
+            kh = kb[:, :, h * Dh:(h + 1) * Dh]            # (B, _BS, Dh)
+            s = jax.lax.dot_general(
+                qh.astype(jnp.bfloat16)[:, None, :], kh,
+                (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)[:, 0, :]   # (B, _BS)
+            s = jnp.where(valid, s, neg)
+            mh = m_new[:, h:h + 1]
+            mb = jnp.maximum(mh, jnp.max(s, axis=-1, keepdims=True))
+            # explicit zero for masked slots: with an all-masked running max
+            # (-1e9), exp(s - mb) would be exp(0) = 1, not 0
+            p = jnp.where(valid, jnp.exp(s - mb), 0.0)     # (B, _BS)
+            corr = jnp.exp(mh - mb)                        # (B, 1)
+            lh = l_new[:, h:h + 1] * corr + jnp.sum(p, axis=-1, keepdims=True)
+            vh = vb[:, :, h * Dh:(h + 1) * Dh]
+            pv = jax.lax.dot_general(
+                p.astype(jnp.bfloat16)[:, None, :], vh,
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)[:, 0, :]   # (B, Dh)
+            # a skipped block's buffer is uninitialized (possibly NaN);
+            # p == 0 does not save the matmul (0 * NaN = NaN), so gate the
+            # (B, Dh) result instead of select-zeroing the whole buffer
+            pv = jnp.where(kv_used(i), pv, 0.0)
+            oh = o_new[:, h * Dh:(h + 1) * Dh] * corr + pv
+            m_new = jax.lax.dynamic_update_slice(m_new, mb, (0, h))
+            l_new = jax.lax.dynamic_update_slice(l_new, lh, (0, h))
+            o_new = jax.lax.dynamic_update_slice(o_new, oh, (0, h * Dh))
+        return m_new, l_new, o_new, 1 - slot
+
+    m_all, l_all, o_all, _ = jax.lax.fori_loop(
+        0, ns, attn_block, (m0, l0, o0, 0))
+
+    # current token as a final 1-wide block, gated by kv_valid[:, pos]
+    # (extracted as a masked reduction: dynamic lane slices don't lower)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
+    cur_valid = jnp.sum(
+        jnp.where(lane == pos, kv_valid_ref[...].astype(jnp.float32), 0.0),
+        axis=1, keepdims=True) > 0                         # (B, 1)
+    kcf = k_cur.astype(jnp.float32)
+    vcf = v_cur.astype(jnp.float32)
+    att = jnp.zeros((B, D), jnp.float32)
+    for h in range(H):
+        qh = q[:, h * Dh:(h + 1) * Dh]
+        s = jnp.sum(qh * kcf[:, h * Dh:(h + 1) * Dh], axis=-1,
+                    keepdims=True)                         # (B, 1)
+        s = jnp.where(cur_valid, s, neg)
+        mh = m_all[:, h:h + 1]
+        mb = jnp.maximum(mh, s)
+        p = jnp.where(cur_valid, jnp.exp(s - mb), 0.0)
+        corr = jnp.exp(mh - mb)
+        lh = l_all[:, h:h + 1] * corr + p
+        oh = o_all[:, h * Dh:(h + 1) * Dh] * corr \
+            + p.astype(jnp.bfloat16).astype(jnp.float32) \
+            * vcf[:, h * Dh:(h + 1) * Dh]
+        att = jax.lax.dynamic_update_slice(
+            att, oh / jnp.maximum(lh, 1e-30), (0, h * Dh))
+    att_b = att.astype(jnp.bfloat16)
+
+    # ---- attn out projection + residual -----------------------------------
+    proj = None
+    for j in range(npj):
+        acc = consume_w(nq + j, att_b)
+        acc = acc * sproj_ref[0, 0, pl.ds(j * _BN, _BN)] \
+            + bproj_ref[0, 0, pl.ds(j * _BN, _BN)]
+        part = acc.astype(jnp.bfloat16)
+        proj = part if proj is None else jnp.concatenate([proj, part], -1)
+    x = x + proj
+
+    # ---- MLP ---------------------------------------------------------------
+    h2 = layer_norm(x, ln2w_ref[0, 0], ln2b_ref[0, 0])
+    hs = []
+    for j in range(nf):
+        acc = consume_w(nq + npj + j, h2)
+        acc = acc * sfc_ref[0, 0, pl.ds(j * _BN, _BN)] \
+            + bfc_ref[0, 0, pl.ds(j * _BN, _BN)]
+        hf = acc.astype(jnp.bfloat16).astype(jnp.float32)
+        hf = 0.5 * hf * (1.0 + jnp.tanh(
+            0.7978845608028654 * (hf + 0.044715 * hf * hf * hf)))
+        hs.append(hf.astype(jnp.bfloat16))
+
+    acc2 = jnp.zeros((B, D), jnp.float32)
+    for j in range(np2):
+        slot = j % 2
+        pltpu.make_async_copy(wp2_ref.at[l, pl.ds(j * _BN, _BN), :],
+                              pbuf.at[slot], psem.at[slot]).wait()
+        wv = pbuf[slot].astype(jnp.bfloat16)
+        acc2 = acc2 + jnp.dot(hs[j], wv, preferred_element_type=jnp.float32)
+        p_next(j)
+    acc2 = acc2 * sp2_ref[0, 0] + bp2_ref[0, 0]
+    x = x + acc2.astype(jnp.bfloat16)
+
+    xc_ref[...] = x
+    xo_ref[...] = x
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "interpret"))
+def fused_decode_step(params: Dict, x: jnp.ndarray, dims: GPT2Dims,
+                      pos: jnp.ndarray, kv_cache: Dict,
+                      kv_valid: jnp.ndarray,
+                      interpret: bool = False) -> Tuple[jnp.ndarray, Dict]:
+    """Drop-in for `gpt2_decode_step` on int8-quantized params + bf16 cache.
+
+    x: (B, D) current-token embeddings; pos: scalar write index; kv_cache:
+    {"k","v"} (L, B, S, H, Dh) bf16; kv_valid: (B, S) bool. Returns
+    (hidden after ln_f, updated cache).
+    """
+    from indextts_tpu import nn
+
+    L, D, H = dims.layers, dims.dim, dims.heads
+    B = x.shape[0]
+    h = params["h"]
+    F = h["mlp"]["c_fc"]["q"].shape[-1]
+    S = kv_cache["k"].shape[2]
+    assert D % _BN == 0 and (3 * D) % _BN == 0 and F % _BN == 0, (D, F)
+    assert S % (2 * _BS) == 0 and S // _BS >= 2, S  # even #blocks: slot
+    # parity must line up across layers for the cross-layer kv prefetch
+    assert "q" in h["attn"]["c_attn"], "fused_decode_step requires int8 params"
+    assert "ks" not in kv_cache, "fused_decode_step requires bf16 cache"
+
+    ck = kv_cache["k"].reshape(L, B, S, D)
+    cv = kv_cache["v"].reshape(L, B, S, D)
+
+    def vrow(a):  # (L, 1, N) f32 rows, one VMEM block per layer (the (1, N)
+        # trailing block dims equal the array dims, which Mosaic requires)
+        return pl.BlockSpec((1, 1, a.shape[-1]), lambda l, *_: (l, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def row3(a, n):
+        return a.astype(jnp.float32).reshape(L, 1, n)
+
+    ln1w = row3(h["ln_1"]["weight"], D)
+    ln1b = row3(h["ln_1"]["bias"], D)
+    ln2w = row3(h["ln_2"]["weight"], D)
+    ln2b = row3(h["ln_2"]["bias"], D)
+    sqkv = row3(h["attn"]["c_attn"]["scale"], 3 * D)
+    bqkv = row3(h["attn"]["c_attn"]["bias"], 3 * D)
+    sproj = row3(h["attn"]["c_proj"]["scale"], D)
+    bproj = row3(h["attn"]["c_proj"]["bias"], D)
+    sfc = row3(h["mlp"]["c_fc"]["scale"], F)
+    bfc = row3(h["mlp"]["c_fc"]["bias"], F)
+    sp2 = row3(h["mlp"]["c_proj"]["scale"], D)
+    bp2 = row3(h["mlp"]["c_proj"]["bias"], D)
+
+    kernel = functools.partial(_kernel, L=L, B=B, D=D, F=F, H=H, S=S)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    full = lambda shape: pl.BlockSpec(shape, lambda l, *_: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    x_out, k_new, v_new = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(L,),
+            in_specs=[
+                full((B, D)),                         # x
+                vrow(ln1w), vrow(ln1b), vrow(ln2w), vrow(ln2b),
+                vrow(sqkv), vrow(bqkv), vrow(sproj), vrow(bproj),
+                vrow(sfc), vrow(bfc), vrow(sp2), vrow(bp2),
+                full((B, S)),                         # kv_valid
+                any_spec, any_spec, any_spec, any_spec,   # weights
+                any_spec, any_spec,                   # cache k, v
+            ],
+            out_specs=[
+                full((B, D)),
+                pl.BlockSpec((1, B, D), lambda l, *_: (l, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, B, D), lambda l, *_: (l, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((B, D), jnp.bfloat16),         # x carry
+                pltpu.VMEM((B, 3 * D), jnp.bfloat16),     # qkv
+                pltpu.VMEM((2, D, _BN), jnp.int8),        # w pool
+                pltpu.VMEM((2, _BN, D), jnp.int8),        # p pool
+                pltpu.VMEM((2, B, _BS, D), jnp.bfloat16),  # k blocks
+                pltpu.VMEM((2, B, _BS, D), jnp.bfloat16),  # v blocks
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, D), jnp.bfloat16),
+            jax.ShapeDtypeStruct((L, B, D), jnp.bfloat16),
+            jax.ShapeDtypeStruct((L, B, D), jnp.bfloat16),
+        ],
+        interpret=interpret,
+    )(jnp.reshape(pos, (1,)).astype(jnp.int32), x.astype(jnp.bfloat16),
+      ln1w, ln1b, ln2w, ln2b, sqkv, bqkv, sproj, bproj, sfc, bfc, sp2, bp2,
+      kv_valid.astype(jnp.int8),
+      h["attn"]["c_attn"]["q"], h["attn"]["c_proj"]["q"],
+      h["mlp"]["c_fc"]["q"], h["mlp"]["c_proj"]["q"], ck, cv)
+
+    new_cache = dict(kv_cache)
+    kn = k_new.reshape(L, B, 1, H, D // H)
+    vn = v_new.reshape(L, B, 1, H, D // H)
+    new_cache["k"] = jax.lax.dynamic_update_slice(
+        kv_cache["k"], kn.astype(kv_cache["k"].dtype), (0, 0, pos, 0, 0))
+    new_cache["v"] = jax.lax.dynamic_update_slice(
+        kv_cache["v"], vn.astype(kv_cache["v"].dtype), (0, 0, pos, 0, 0))
+    x_f = nn.layer_norm(params["ln_f"], x_out)
+    return x_f, new_cache

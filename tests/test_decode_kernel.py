@@ -1,0 +1,78 @@
+"""Parity tests for the fused multi-layer decode kernel (interpret mode).
+
+Verifies `ops/pallas/decode_step.fused_decode_step` against the XLA
+reference `models/gpt/gpt2.gpt2_decode_step` on int8-quantized params with
+a bf16 cache: same rounding chain, so outputs should agree to bf16 noise
+accumulated over the flash-vs-exact softmax reassociation.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from indextts_tpu.models.gpt.gpt2 import (GPT2Dims, gpt2_decode_step,
+                                          init_gpt2, init_kv_cache,
+                                          quantize_gpt2_int8)
+from indextts_tpu.nn import InitRng
+from indextts_tpu.ops.pallas.decode_step import fused_decode_step
+
+DIMS = GPT2Dims(layers=2, dim=1280, heads=20)
+
+
+def _setup(B=4, S=128, pos=70, seed=0):
+    rng = InitRng(seed)
+    params = quantize_gpt2_int8(init_gpt2(rng, DIMS))
+    cache = init_kv_cache(DIMS, B, S, jnp.bfloat16)
+    nprng = np.random.default_rng(seed + 1)
+    # pre-populate the cache region [0, pos) with plausible values
+    kv = nprng.normal(0, 1.0, size=(2, DIMS.layers, B, S, DIMS.heads,
+                                    DIMS.head_dim)).astype(np.float32)
+    mask = np.zeros((B, S), bool)
+    for b in range(B):
+        start = b  # staggered left-pad starts
+        mask[b, start:pos] = True
+        mask[b, pos] = True  # the slot being written this step
+    kv[:, :, :, pos:] = 0.0
+    cache = {"k": jnp.asarray(kv[0], jnp.bfloat16),
+             "v": jnp.asarray(kv[1], jnp.bfloat16)}
+    x = jnp.asarray(nprng.normal(0, 1.0, size=(B, DIMS.dim)), jnp.bfloat16)
+    return params, x, cache, jnp.asarray(mask), jnp.asarray(pos, jnp.int32)
+
+
+@pytest.mark.parametrize("B,S,pos", [(4, 128, 70), (8, 256, 255), (2, 128, 0)])
+def test_fused_decode_step_parity(B, S, pos):
+    params, x, cache, mask, posv = _setup(B=B, S=S, pos=pos)
+    ref_h, ref_cache = gpt2_decode_step(params, x, DIMS, posv, cache, mask)
+    got_h, got_cache = fused_decode_step(params, x, DIMS, posv, cache, mask,
+                                         interpret=True)
+    np.testing.assert_allclose(np.asarray(got_h, np.float32),
+                               np.asarray(ref_h, np.float32),
+                               rtol=0.05, atol=0.05)
+    for key in ("k", "v"):
+        np.testing.assert_allclose(
+            np.asarray(got_cache[key], np.float32),
+            np.asarray(ref_cache[key], np.float32), rtol=0.02, atol=0.02)
+
+
+def test_fused_decode_multi_step_drift():
+    """Run 8 consecutive steps through both paths; hidden states must track."""
+    params, x, cache, mask, _ = _setup(B=2, S=128, pos=60)
+    mask_ref = mask
+    cache_f = cache
+    x_f = x
+    x_r = x
+    cache_r = cache
+    m = np.array(mask)
+    for step in range(8):
+        pos = jnp.asarray(60 + step, jnp.int32)
+        m[:, 60 + step] = True
+        mk = jnp.asarray(m)
+        r_h, cache_r = gpt2_decode_step(params, x_r, DIMS, pos, cache_r, mk)
+        f_h, cache_f = fused_decode_step(params, x_f, DIMS, pos, cache_f, mk,
+                                         interpret=True)
+        np.testing.assert_allclose(np.asarray(f_h, np.float32),
+                                   np.asarray(r_h, np.float32),
+                                   rtol=0.08, atol=0.08)
+        x_r = r_h.astype(jnp.bfloat16)[:, :1280]
+        x_f = f_h.astype(jnp.bfloat16)[:, :1280]
