@@ -67,7 +67,7 @@ def _nwb(D: int, F: int) -> Tuple[int, int, int]:
 
 def _kernel(pos_ref, x_ref, ln1w_ref, ln1b_ref, ln2w_ref, ln2b_ref,
             sqkv_ref, bqkv_ref, sproj_ref, bproj_ref, sfc_ref, bfc_ref,
-            sp2_ref, bp2_ref, kv_valid_ref,
+            sp2_ref, bp2_ref, starts_ref,
             wqkv_ref, wproj_ref, wfc_ref, wp2_ref, ck_ref, cv_ref,
             xo_ref, kn_ref, vn_ref,
             xc_ref, qkv_ref, wbuf, pbuf, kbuf, vbuf,
@@ -126,9 +126,9 @@ def _kernel(pos_ref, x_ref, ln1w_ref, ln1b_ref, ln2w_ref, ln2b_ref,
     def kv_start(li, i, slot):
         @pl.when(kv_used(i))
         def _():
-            pltpu.make_async_copy(ck_ref.at[li, :, pl.ds(i * _BS, _BS), :],
+            pltpu.make_async_copy(ck_ref.at[li, :, pl.ds(pl.multiple_of(i * _BS, 8), _BS), :],
                                   kbuf.at[slot], ksem.at[slot]).start()
-            pltpu.make_async_copy(cv_ref.at[li, :, pl.ds(i * _BS, _BS), :],
+            pltpu.make_async_copy(cv_ref.at[li, :, pl.ds(pl.multiple_of(i * _BS, 8), _BS), :],
                                   vbuf.at[slot], vsem.at[slot]).start()
 
     def kv_start_next(i, slot):
@@ -142,11 +142,12 @@ def _kernel(pos_ref, x_ref, ln1w_ref, ln1b_ref, ln2w_ref, ln2b_ref,
 
         @pl.when(jnp.logical_and(nxt_l < L, kv_used(nxt_i)))
         def _():
+            off = pl.multiple_of(nxt_i * _BS, 8)
             pltpu.make_async_copy(
-                ck_ref.at[nxt_l, :, pl.ds(nxt_i * _BS, _BS), :],
+                ck_ref.at[nxt_l, :, pl.ds(off, _BS), :],
                 kbuf.at[slot], ksem.at[slot]).start()
             pltpu.make_async_copy(
-                cv_ref.at[nxt_l, :, pl.ds(nxt_i * _BS, _BS), :],
+                cv_ref.at[nxt_l, :, pl.ds(off, _BS), :],
                 vbuf.at[slot], vsem.at[slot]).start()
 
     # ---- prime the pipelines (first grid step only) -----------------------
@@ -195,10 +196,12 @@ def _kernel(pos_ref, x_ref, ln1w_ref, ln1b_ref, ln2w_ref, ln2b_ref,
     vn_ref[0] = v_cur
 
     # ---- attention: online softmax over kv blocks + current token ---------
-    # per-head running (m, l, o) packed as (B, H->128) and (B, D)
+    # per-head running (m, l, o) packed as (B, H) and (B, D); heads are
+    # updated via concat (dynamic_update_slice on values has no Mosaic
+    # lowering, and all head indices are static anyway)
     neg = jnp.float32(-1e9)
-    m0 = jnp.full((B, 128), neg, jnp.float32)
-    l0 = jnp.zeros((B, 128), jnp.float32)
+    m0 = jnp.full((B, H), neg, jnp.float32)
+    l0 = jnp.zeros((B, H), jnp.float32)
     o0 = jnp.zeros((B, D), jnp.float32)
 
     def attn_block(i, carry):
@@ -217,15 +220,17 @@ def _kernel(pos_ref, x_ref, ln1w_ref, ln1b_ref, ln2w_ref, ln2b_ref,
 
         kb = kbuf[slot]                                   # (B, _BS, D) bf16
         vb = vbuf[slot]
-        valid = (kv_valid_ref[:, pl.ds(i * _BS, _BS)] != 0)  # (B, _BS)
+        # validity is the contiguous range [start_b, pos): decode masks are
+        # always left-pad + generated-so-far (a (B, S) mask would need
+        # dynamic lane slicing, which Mosaic cannot align-prove). Slot `pos`
+        # itself enters via the explicit current-token term below.
+        gidx = i * _BS + jax.lax.broadcasted_iota(jnp.int32, (B, _BS), 1)
+        starts = starts_ref[...]                          # (B, 1) int32
+        valid = jnp.logical_and(gidx >= starts, gidx < pos)
         valid = jnp.logical_and(valid, kv_used(i))
-        # slot `pos` belongs to the current token (cache row not yet
-        # written); it enters via the explicit current-token term below
-        gidx = i * _BS + jax.lax.broadcasted_iota(jnp.int32, (1, _BS), 1)
-        valid = jnp.logical_and(valid, gidx != pos)
         kv_start_next(i, slot)
 
-        m_new, l_new, o_new = m_all, l_all, o_all
+        ms, ls, os_ = [], [], []
         for h in range(H):
             qh = q[:, h * Dh:(h + 1) * Dh]                # (B, Dh) f32
             kh = kb[:, :, h * Dh:(h + 1) * Dh]            # (B, _BS, Dh)
@@ -234,13 +239,13 @@ def _kernel(pos_ref, x_ref, ln1w_ref, ln1b_ref, ln2w_ref, ln2b_ref,
                 (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)[:, 0, :]   # (B, _BS)
             s = jnp.where(valid, s, neg)
-            mh = m_new[:, h:h + 1]
+            mh = m_all[:, h:h + 1]
             mb = jnp.maximum(mh, jnp.max(s, axis=-1, keepdims=True))
             # explicit zero for masked slots: with an all-masked running max
             # (-1e9), exp(s - mb) would be exp(0) = 1, not 0
             p = jnp.where(valid, jnp.exp(s - mb), 0.0)     # (B, _BS)
             corr = jnp.exp(mh - mb)                        # (B, 1)
-            lh = l_new[:, h:h + 1] * corr + jnp.sum(p, axis=-1, keepdims=True)
+            lh = l_all[:, h:h + 1] * corr + jnp.sum(p, axis=-1, keepdims=True)
             vh = vb[:, :, h * Dh:(h + 1) * Dh]
             pv = jax.lax.dot_general(
                 p.astype(jnp.bfloat16)[:, None, :], vh,
@@ -250,24 +255,21 @@ def _kernel(pos_ref, x_ref, ln1w_ref, ln1b_ref, ln2w_ref, ln2b_ref,
             # p == 0 does not save the matmul (0 * NaN = NaN), so gate the
             # (B, Dh) result instead of select-zeroing the whole buffer
             pv = jnp.where(kv_used(i), pv, 0.0)
-            oh = o_new[:, h * Dh:(h + 1) * Dh] * corr + pv
-            m_new = jax.lax.dynamic_update_slice(m_new, mb, (0, h))
-            l_new = jax.lax.dynamic_update_slice(l_new, lh, (0, h))
-            o_new = jax.lax.dynamic_update_slice(o_new, oh, (0, h * Dh))
-        return m_new, l_new, o_new, 1 - slot
+            oh = o_all[:, h * Dh:(h + 1) * Dh] * corr + pv
+            ms.append(mb)
+            ls.append(lh)
+            os_.append(oh)
+        return (jnp.concatenate(ms, axis=1), jnp.concatenate(ls, axis=1),
+                jnp.concatenate(os_, axis=1), 1 - slot)
 
     m_all, l_all, o_all, _ = jax.lax.fori_loop(
         0, ns, attn_block, (m0, l0, o0, 0))
 
-    # current token as a final 1-wide block, gated by kv_valid[:, pos]
-    # (extracted as a masked reduction: dynamic lane slices don't lower)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
-    cur_valid = jnp.sum(
-        jnp.where(lane == pos, kv_valid_ref[...].astype(jnp.float32), 0.0),
-        axis=1, keepdims=True) > 0                         # (B, 1)
+    # current token as a final 1-wide block; live rows have start <= pos
+    cur_valid = starts_ref[...] <= pos                     # (B, 1)
     kcf = k_cur.astype(jnp.float32)
     vcf = v_cur.astype(jnp.float32)
-    att = jnp.zeros((B, D), jnp.float32)
+    att_parts = []
     for h in range(H):
         qh = q[:, h * Dh:(h + 1) * Dh]
         s = jnp.sum(qh * kcf[:, h * Dh:(h + 1) * Dh], axis=-1,
@@ -281,9 +283,8 @@ def _kernel(pos_ref, x_ref, ln1w_ref, ln1b_ref, ln2w_ref, ln2b_ref,
         oh = o_all[:, h * Dh:(h + 1) * Dh] * corr \
             + p.astype(jnp.bfloat16).astype(jnp.float32) \
             * vcf[:, h * Dh:(h + 1) * Dh]
-        att = jax.lax.dynamic_update_slice(
-            att, oh / jnp.maximum(lh, 1e-30), (0, h * Dh))
-    att_b = att.astype(jnp.bfloat16)
+        att_parts.append(oh / jnp.maximum(lh, 1e-30))
+    att_b = jnp.concatenate(att_parts, axis=1).astype(jnp.bfloat16)
 
     # ---- attn out projection + residual -----------------------------------
     proj = None
@@ -348,6 +349,11 @@ def fused_decode_step(params: Dict, x: jnp.ndarray, dims: GPT2Dims,
 
     ck = kv_cache["k"].reshape(L, B, S, D)
     cv = kv_cache["v"].reshape(L, B, S, D)
+    # decode validity is contiguous [start, pos]: recover the start from the
+    # mask's popcount (dead rows -> start = pos + 1, nothing attendable)
+    starts = (pos + 1
+              - jnp.sum(kv_valid.astype(jnp.int32), axis=1, keepdims=True))
+    starts = starts.astype(jnp.int32)
 
     def vrow(a):  # (L, 1, N) f32 rows, one VMEM block per layer (the (1, N)
         # trailing block dims equal the array dims, which Mosaic requires)
@@ -384,7 +390,7 @@ def fused_decode_step(params: Dict, x: jnp.ndarray, dims: GPT2Dims,
                 vrow(ln1w), vrow(ln1b), vrow(ln2w), vrow(ln2b),
                 vrow(sqkv), vrow(bqkv), vrow(sproj), vrow(bproj),
                 vrow(sfc), vrow(bfc), vrow(sp2), vrow(bp2),
-                full((B, S)),                         # kv_valid
+                full((B, 1)),                         # per-row valid start
                 any_spec, any_spec, any_spec, any_spec,   # weights
                 any_spec, any_spec,                   # cache k, v
             ],
@@ -416,7 +422,7 @@ def fused_decode_step(params: Dict, x: jnp.ndarray, dims: GPT2Dims,
         interpret=interpret,
     )(jnp.reshape(pos, (1,)).astype(jnp.int32), x.astype(jnp.bfloat16),
       ln1w, ln1b, ln2w, ln2b, sqkv, bqkv, sproj, bproj, sfc, bfc, sp2, bp2,
-      kv_valid.astype(jnp.int8),
+      starts,
       h["attn"]["c_attn"]["q"], h["attn"]["c_proj"]["q"],
       h["mlp"]["c_fc"]["q"], h["mlp"]["c_proj"]["q"], ck, cv)
 
