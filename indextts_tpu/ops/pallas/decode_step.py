@@ -56,8 +56,10 @@ from indextts_tpu.models.gpt.gpt2 import GPT2Dims
 # weight N/K block width: divides 1280/3840/5120; (1280, 640) int8 = 819 KB
 # keeps the double-buffered pools (2 pools x 2 slots) under 3.3 MB of VMEM.
 _BN = 640
-# KV stream block: (8, 64, 1280) bf16 = 1.3 MB -> 5.2 MB for 2 arrays x 2 slots
-_BS = 64
+# KV stream block: (8, 32, 1280) bf16 = 655 KB per slot; the attention math
+# works on the flattened (B*_BS, D) block, whose f32 temporaries are the
+# VMEM high-water mark — 32 keeps the whole kernel under ~12 MB
+_BS = 32
 
 
 def _nwb(D: int, F: int) -> Tuple[int, int, int]:
@@ -67,7 +69,7 @@ def _nwb(D: int, F: int) -> Tuple[int, int, int]:
 
 def _kernel(pos_ref, x_ref, ln1w_ref, ln1b_ref, ln2w_ref, ln2b_ref,
             sqkv_ref, bqkv_ref, sproj_ref, bproj_ref, sfc_ref, bfc_ref,
-            sp2_ref, bp2_ref, starts_ref,
+            sp2_ref, bp2_ref, starts_ref, e1_ref, e1t_ref,
             wqkv_ref, wproj_ref, wfc_ref, wp2_ref, ck_ref, cv_ref,
             xo_ref, kn_ref, vn_ref,
             xc_ref, qkv_ref, wbuf, pbuf, kbuf, vbuf,
@@ -196,13 +198,32 @@ def _kernel(pos_ref, x_ref, ln1w_ref, ln1b_ref, ln2w_ref, ln2b_ref,
     vn_ref[0] = v_cur
 
     # ---- attention: online softmax over kv blocks + current token ---------
-    # per-head running (m, l, o) packed as (B, H) and (B, D); heads are
-    # updated via concat (dynamic_update_slice on values has no Mosaic
-    # lowering, and all head indices are static anyway)
+    # Formulation chosen for what Mosaic actually lowers (probed on device):
+    # leading-dim reshapes, 2D matmuls, and elementwise — NO batched
+    # dot_general, NO lane-segment reductions. Scores for all (b, h) at once:
+    #     prod = k_block_flat * q_expanded          (B*_BS, D) elementwise
+    #     s    = prod @ E1                          (B*_BS, 128) MXU
+    # where E1[d, h] = [d // Dh == h] sums each head's 64 lanes; E1's
+    # transpose re-expands per-head scalars (probs, softmax corrections)
+    # back to the lane layout. Running (m, l) live as (B, 128) with one
+    # column per head (junk columns h >= H never reach the output because
+    # E1T's corresponding rows are zero).
     neg = jnp.float32(-1e9)
-    m0 = jnp.full((B, H), neg, jnp.float32)
-    l0 = jnp.zeros((B, H), jnp.float32)
+    m0 = jnp.full((B, 128), neg, jnp.float32)
+    l0 = jnp.zeros((B, 128), jnp.float32)
     o0 = jnp.zeros((B, D), jnp.float32)
+
+    e1 = e1_ref[...]                                      # (D, 128) bf16
+    e1t = e1t_ref[...]                                    # (128, D) f32
+
+    # loop-invariant per-layer expansions: q rows / starts per flat row
+    qbf = q.astype(jnp.bfloat16)
+    qexp = jnp.concatenate(
+        [jnp.broadcast_to(qbf[b:b + 1, :], (_BS, D)) for b in range(B)], 0)
+    starts = starts_ref[...]                              # (B, 1) int32
+    sexp = jnp.concatenate(
+        [jnp.broadcast_to(starts[b:b + 1, :], (_BS, 1)) for b in range(B)], 0)
+    jrow = jax.lax.broadcasted_iota(jnp.int32, (B * _BS, 1), 0) % _BS
 
     def attn_block(i, carry):
         m_all, l_all, o_all, slot = carry
@@ -218,73 +239,60 @@ def _kernel(pos_ref, x_ref, ln1w_ref, ln1b_ref, ln2w_ref, ln2b_ref,
             kc.wait()
             vc.wait()
 
-        kb = kbuf[slot]                                   # (B, _BS, D) bf16
-        vb = vbuf[slot]
+        kb2 = kbuf[slot].reshape(B * _BS, D)              # bf16
+        vb2 = vbuf[slot].reshape(B * _BS, D)
         # validity is the contiguous range [start_b, pos): decode masks are
-        # always left-pad + generated-so-far (a (B, S) mask would need
-        # dynamic lane slicing, which Mosaic cannot align-prove). Slot `pos`
-        # itself enters via the explicit current-token term below.
-        gidx = i * _BS + jax.lax.broadcasted_iota(jnp.int32, (B, _BS), 1)
-        starts = starts_ref[...]                          # (B, 1) int32
-        valid = jnp.logical_and(gidx >= starts, gidx < pos)
+        # always left-pad + generated-so-far. Slot `pos` itself enters via
+        # the explicit current-token term below.
+        g = i * _BS + jrow                                # (B*_BS, 1)
+        valid = jnp.logical_and(g >= sexp, g < pos)
         valid = jnp.logical_and(valid, kv_used(i))
         kv_start_next(i, slot)
 
-        ms, ls, os_ = [], [], []
-        for h in range(H):
-            qh = q[:, h * Dh:(h + 1) * Dh]                # (B, Dh) f32
-            kh = kb[:, :, h * Dh:(h + 1) * Dh]            # (B, _BS, Dh)
-            s = jax.lax.dot_general(
-                qh.astype(jnp.bfloat16)[:, None, :], kh,
-                (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)[:, 0, :]   # (B, _BS)
-            s = jnp.where(valid, s, neg)
-            mh = m_all[:, h:h + 1]
-            mb = jnp.maximum(mh, jnp.max(s, axis=-1, keepdims=True))
-            # explicit zero for masked slots: with an all-masked running max
-            # (-1e9), exp(s - mb) would be exp(0) = 1, not 0
-            p = jnp.where(valid, jnp.exp(s - mb), 0.0)     # (B, _BS)
-            corr = jnp.exp(mh - mb)                        # (B, 1)
-            lh = l_all[:, h:h + 1] * corr + jnp.sum(p, axis=-1, keepdims=True)
-            vh = vb[:, :, h * Dh:(h + 1) * Dh]
-            pv = jax.lax.dot_general(
-                p.astype(jnp.bfloat16)[:, None, :], vh,
-                (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)[:, 0, :]   # (B, Dh)
-            # a skipped block's buffer is uninitialized (possibly NaN);
-            # p == 0 does not save the matmul (0 * NaN = NaN), so gate the
-            # (B, Dh) result instead of select-zeroing the whole buffer
-            pv = jnp.where(kv_used(i), pv, 0.0)
-            oh = o_all[:, h * Dh:(h + 1) * Dh] * corr + pv
-            ms.append(mb)
-            ls.append(lh)
-            os_.append(oh)
-        return (jnp.concatenate(ms, axis=1), jnp.concatenate(ls, axis=1),
-                jnp.concatenate(os_, axis=1), 1 - slot)
+        prod = kb2 * qexp                                 # bf16
+        s128 = jnp.dot(prod, e1, preferred_element_type=jnp.float32)
+        s128 = jnp.where(valid, s128, neg)                # (B*_BS, 128)
+        s3 = s128.reshape(B, _BS, 128)
+        mb = jnp.maximum(m_all, jnp.max(s3, axis=1))      # (B, 128)
+        # explicit zero for masked slots: with an all-masked running max
+        # (-1e9), exp(s - mb) would be exp(0) = 1, not 0
+        p3 = jnp.where(valid.reshape(B, _BS, 1),
+                       jnp.exp(s3 - mb[:, None, :]), 0.0)
+        corr = jnp.exp(m_all - mb)                        # (B, 128)
+        lb = l_all * corr + jnp.sum(p3, axis=1)
+        pexp = jnp.dot(p3.reshape(B * _BS, 128).astype(jnp.bfloat16),
+                       e1t.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        contrib = jnp.sum((pexp.astype(jnp.bfloat16) * vb2)
+                          .astype(jnp.float32).reshape(B, _BS, D), axis=1)
+        # a skipped block's buffer is uninitialized (possibly NaN); p == 0
+        # does not save the products (0 * NaN = NaN), so gate the result
+        contrib = jnp.where(kv_used(i), contrib, 0.0)
+        corr_lane = jnp.dot(corr, e1t,
+                            preferred_element_type=jnp.float32)  # (B, D)
+        o_new = o_all * corr_lane + contrib
+        return mb, lb, o_new, 1 - slot
 
     m_all, l_all, o_all, _ = jax.lax.fori_loop(
         0, ns, attn_block, (m0, l0, o0, 0))
 
     # current token as a final 1-wide block; live rows have start <= pos
-    cur_valid = starts_ref[...] <= pos                     # (B, 1)
+    cur_valid = starts <= pos                              # (B, 1)
     kcf = k_cur.astype(jnp.float32)
     vcf = v_cur.astype(jnp.float32)
-    att_parts = []
-    for h in range(H):
-        qh = q[:, h * Dh:(h + 1) * Dh]
-        s = jnp.sum(qh * kcf[:, h * Dh:(h + 1) * Dh], axis=-1,
-                    keepdims=True)                         # (B, 1)
-        s = jnp.where(cur_valid, s, neg)
-        mh = m_all[:, h:h + 1]
-        mb = jnp.maximum(mh, s)
-        p = jnp.where(cur_valid, jnp.exp(s - mb), 0.0)
-        corr = jnp.exp(mh - mb)
-        lh = l_all[:, h:h + 1] * corr + p
-        oh = o_all[:, h * Dh:(h + 1) * Dh] * corr \
-            + p.astype(jnp.bfloat16).astype(jnp.float32) \
-            * vcf[:, h * Dh:(h + 1) * Dh]
-        att_parts.append(oh / jnp.maximum(lh, 1e-30))
-    att_b = jnp.concatenate(att_parts, axis=1).astype(jnp.bfloat16)
+    s_c = jnp.dot((qbf * k_cur).astype(jnp.bfloat16), e1,
+                  preferred_element_type=jnp.float32)      # (B, 128)
+    s_c = jnp.where(cur_valid, s_c, neg)
+    mb = jnp.maximum(m_all, s_c)
+    p_c = jnp.where(cur_valid, jnp.exp(s_c - mb), 0.0)
+    corr = jnp.exp(m_all - mb)
+    l_f = l_all * corr + p_c
+    corr_lane = jnp.dot(corr, e1t, preferred_element_type=jnp.float32)
+    p_lane = jnp.dot(p_c, e1t, preferred_element_type=jnp.float32)
+    o_f = o_all * corr_lane + p_lane.astype(jnp.bfloat16).astype(jnp.float32) \
+        * vcf
+    l_lane = jnp.dot(l_f, e1t, preferred_element_type=jnp.float32)
+    att_b = (o_f / jnp.maximum(l_lane, 1e-30)).astype(jnp.bfloat16)
 
     # ---- attn out projection + residual -----------------------------------
     proj = None
@@ -376,6 +384,13 @@ def fused_decode_step(params: Dict, x: jnp.ndarray, dims: GPT2Dims,
     sp2 = row3(h["mlp"]["c_proj"]["scale"], D)
     bp2 = row3(h["mlp"]["c_proj"]["bias"], D)
 
+    # head selector: E1[d, h] = [d // Dh == h] sums each head's lanes on the
+    # MXU; its transpose re-expands per-head scalars to the lane layout
+    head_of = jnp.arange(D) // (D // H)
+    e1 = (head_of[:, None] == jnp.arange(128)[None, :])
+    e1b = e1.astype(jnp.bfloat16)
+    e1t = e1.T.astype(jnp.float32)
+
     kernel = functools.partial(_kernel, L=L, B=B, D=D, F=F, H=H, S=S)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     full = lambda shape: pl.BlockSpec(shape, lambda l, *_: (0,) * len(shape),
@@ -391,6 +406,8 @@ def fused_decode_step(params: Dict, x: jnp.ndarray, dims: GPT2Dims,
                 vrow(sqkv), vrow(bqkv), vrow(sproj), vrow(bproj),
                 vrow(sfc), vrow(bfc), vrow(sp2), vrow(bp2),
                 full((B, 1)),                         # per-row valid start
+                full((D, 128)),                       # E1 (bf16)
+                full((128, D)),                       # E1^T (f32)
                 any_spec, any_spec, any_spec, any_spec,   # weights
                 any_spec, any_spec,                   # cache k, v
             ],
@@ -422,7 +439,7 @@ def fused_decode_step(params: Dict, x: jnp.ndarray, dims: GPT2Dims,
         interpret=interpret,
     )(jnp.reshape(pos, (1,)).astype(jnp.int32), x.astype(jnp.bfloat16),
       ln1w, ln1b, ln2w, ln2b, sqkv, bqkv, sproj, bproj, sfc, bfc, sp2, bp2,
-      starts,
+      starts, e1b, e1t,
       h["attn"]["c_attn"]["q"], h["attn"]["c_proj"]["q"],
       h["mlp"]["c_fc"]["q"], h["mlp"]["c_proj"]["q"], ck, cv)
 
