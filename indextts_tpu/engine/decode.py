@@ -49,9 +49,11 @@ def _fused_decode_ok(params: Params, dims: GPT2Dims, B: int,
     cache is then sized by `_cache_len`, which 128-aligns the span)."""
     import os
 
-    if os.environ.get("INDEXTTS_FUSED_DECODE", "0") == "0":
+    flag = os.environ.get("INDEXTTS_FUSED_DECODE", "0")
+    if flag == "0":
         return False
-    if jax.default_backend() not in ("tpu", "axon"):
+    # "interp" forces the kernel in interpreter mode (CPU integration tests)
+    if flag != "interp" and jax.default_backend() not in ("tpu", "axon"):
         return False
     try:
         quantized = "q" in params["gpt"]["h"]["attn"]["c_attn"]
@@ -72,9 +74,13 @@ def _cache_len(P: int, span: int, fused: bool) -> int:
 def _decode_step(fused: bool, params: Params, x, dims: GPT2Dims, pos, kv,
                  kv_valid):
     if fused:
+        import os
+
         from indextts_tpu.ops.pallas.decode_step import fused_decode_step
 
-        return fused_decode_step(params["gpt"], x, dims, pos, kv, kv_valid)
+        interp = os.environ.get("INDEXTTS_FUSED_DECODE", "0") == "interp"
+        return fused_decode_step(params["gpt"], x, dims, pos, kv, kv_valid,
+                                 interpret=interp)
     return gpt2_decode_step(params["gpt"], x, dims, pos, kv, kv_valid)
 
 

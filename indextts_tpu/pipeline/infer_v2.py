@@ -794,9 +794,24 @@ class IndexTTS2:
             m_start = time.perf_counter()
             tlen_all = (clens_all.astype(np.float32)
                         * np.float32(self.MEL_PER_CODE)).astype(np.int32)
-            wav_all = self._jit_vocoder(self.bigvgan_params, vc_all,
-                                        jnp.asarray(tlen_all))
-            batch_wav_np = np.asarray(wav_all, np.float32)  # one readback
+            # vocoder batch runs in power-of-two row chunks ({8,4,2,1}): no
+            # padded rows, a bounded set of compile buckets for arbitrary
+            # segment counts, and it keeps the folded-antialias kernel on
+            # batch shapes it is validated at (a B=5 whole-vocoder program
+            # hits an XLA-layout-dependent kernel fault; see CLAUDE.md)
+            parts = []
+            row = 0
+            nrows_v = vc_all.shape[0]
+            while row < nrows_v:
+                step_rows = 8
+                while step_rows > nrows_v - row:
+                    step_rows //= 2
+                parts.append(self._jit_vocoder(
+                    self.bigvgan_params, vc_all[row:row + step_rows],
+                    jnp.asarray(tlen_all[row:row + step_rows])))
+                row += step_rows
+            batch_wav_np = np.concatenate(
+                [np.asarray(p, np.float32) for p in parts], axis=0)
             bigvgan_time += time.perf_counter() - m_start
 
         for seg_idx, sent in enumerate(segments):

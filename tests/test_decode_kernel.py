@@ -76,3 +76,44 @@ def test_fused_decode_multi_step_drift():
                                    rtol=0.08, atol=0.08)
         x_r = r_h.astype(jnp.bfloat16)[:, :1280]
         x_f = f_h.astype(jnp.bfloat16)[:, :1280]
+
+
+def test_generate_fused_token_parity(monkeypatch):
+    """End-to-end: generate() with the fused kernel (interpret mode) emits
+    exactly the same tokens as the XLA decode path, including the 128-aligned
+    cache sizing."""
+    from indextts_tpu.config import ConditionModuleConfig, GPTConfig
+    from indextts_tpu.engine import decode as dec
+    from indextts_tpu.engine.decode import SamplingConfig
+    from indextts_tpu.models.gpt.unified_voice import init_unified_voice
+
+    cfg = GPTConfig(
+        layers=2, model_dim=640, heads=10, max_text_tokens=30,
+        max_mel_tokens=60, number_text_tokens=40, number_mel_codes=50,
+        start_mel_token=48, stop_mel_token=49,
+        condition_module=ConditionModuleConfig(
+            output_size=32, linear_units=48, attention_heads=2, num_blocks=1,
+            input_layer="linear", perceiver_mult=2),
+        emo_condition_module=ConditionModuleConfig(
+            output_size=32, linear_units=48, attention_heads=2, num_blocks=1,
+            input_layer="linear", perceiver_mult=2))
+    dims = GPT2Dims(cfg.layers, cfg.model_dim, cfg.heads)
+    params = init_unified_voice(InitRng(0), cfg)
+    params["gpt"] = quantize_gpt2_int8(params["gpt"])
+    rng = np.random.default_rng(3)
+    B, P = 2, 7
+    prefix = jnp.asarray(rng.normal(0, 0.3, (B, P, cfg.model_dim)),
+                         jnp.bfloat16)
+    mask = jnp.ones((B, P), bool).at[0, 0].set(False)
+    key = jax.random.PRNGKey(5)
+    sampling = SamplingConfig(do_sample=False)
+
+    toks_ref, lens_ref = dec.generate(params, cfg, dims, prefix, mask, key,
+                                      max_new_tokens=4, sampling=sampling)
+    monkeypatch.setenv("INDEXTTS_FUSED_DECODE", "interp")
+    dec.generate.clear_cache()
+    toks_f, lens_f = dec.generate(params, cfg, dims, prefix, mask, key,
+                                  max_new_tokens=4, sampling=sampling)
+    dec.generate.clear_cache()
+    np.testing.assert_array_equal(np.asarray(toks_ref), np.asarray(toks_f))
+    np.testing.assert_array_equal(np.asarray(lens_ref), np.asarray(lens_f))
