@@ -72,13 +72,14 @@ def main():
         quant = None
     sentence = ("the quick brown fox jumps over the lazy dog and runs into "
                 "the forest . the dog runs over the lazy fox . ")
-    # long-form workload: ~8 segments (~60 s of audio) at the default
-    # 120-token segmentation — article-length synthesis, the shape batch
-    # serving is sized for; the AR decode for all segments runs as one
-    # left-padded batch and the DiT/vocoder as one batched program. A
-    # 4-segment medium-form run is printed as a diagnostic.
-    text_long = sentence * 24
-    text_med = sentence * 12
+    # long-form workload: 8 segments (~80 s of audio at the pinned decode
+    # length) at the default 120-token segmentation — article-length
+    # synthesis, the shape batch serving is sized for; the AR decode for
+    # all segments runs as one left-padded batch, the DiT as one batched
+    # program, and the vocoder in power-of-two row chunks. Medium (5 seg)
+    # and single-segment runs are printed as diagnostics.
+    text_long = sentence * 40
+    text_med = sentence * 24
     text_short = sentence
 
     d = tempfile.mkdtemp(prefix="indextts_bench_")
@@ -119,11 +120,11 @@ def main():
     for i in range(2):
         dt, secs = run(text_long)
         rtf = dt / max(secs, 1e-6)
-        print(f"run{i} long-form (8 seg): {dt:.2f}s wall for {secs:.2f}s "
+        print(f"run{i} long-form: {dt:.2f}s wall for {secs:.2f}s "
               f"audio -> RTF {rtf:.4f}", file=sys.stderr)
         best = rtf if best is None else min(best, rtf)
     dt, secs = run(text_med)
-    print(f"medium-form (4 seg): {dt:.2f}s wall for {secs:.2f}s audio -> "
+    print(f"medium-form: {dt:.2f}s wall for {secs:.2f}s audio -> "
           f"RTF {dt / max(secs, 1e-6):.4f}", file=sys.stderr)
     dt, secs = run(text_short)
     print(f"single-segment: {dt:.2f}s wall for {secs:.2f}s audio -> "
