@@ -152,7 +152,8 @@ def generate(params: Params, cfg: GPTConfig, dims: GPT2Dims,
     seq = jnp.concatenate([prefix_embeds, start_emb[:, None, :]], axis=1)
     seq_mask = jnp.concatenate([prefix_mask, jnp.ones((B, 1), bool)], axis=1)
 
-    kv = init_kv_cache(dims, B, S, dtype=dtype, quantized=sampling.kv_quant)
+    kv = init_kv_cache(dims, B, S, dtype=dtype, quantized=sampling.kv_quant,
+                       flat=fused)
     hidden, kv = gpt2_prefill(params["gpt"], seq, dims, seq_mask, kv)
     logits0 = mel_logits_from_hidden(params, hidden[:, -1, :])
 
@@ -241,7 +242,8 @@ def _prefill_and_span(params: Params, cfg: GPTConfig, dims: GPT2Dims,
     seq_mask = jnp.concatenate([prefix_mask, jnp.ones((B, 1), bool)], axis=1)
     fused = _fused_decode_ok(params, dims, B, sampling.kv_quant)
     S0 = _cache_len(P, span_end, fused)
-    kv = init_kv_cache(dims, B, S0, dtype=dtype, quantized=sampling.kv_quant)
+    kv = init_kv_cache(dims, B, S0, dtype=dtype, quantized=sampling.kv_quant,
+                       flat=fused)
     hidden, kv = gpt2_prefill(params["gpt"], seq, dims, seq_mask, kv)
     logits0 = mel_logits_from_hidden(params, hidden[:, -1, :])
     kv_valid = jnp.zeros((B, S0), bool)

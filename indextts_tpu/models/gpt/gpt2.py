@@ -92,12 +92,22 @@ def quantize_gpt2_int8(params: Params) -> Params:
 
 
 def init_kv_cache(dims: GPT2Dims, batch: int, max_len: int, dtype=jnp.bfloat16,
-                  quantized: bool = False) -> Dict:
+                  quantized: bool = False, flat: bool = False) -> Dict:
     """Dense KV cache. quantized=True stores int8 values with per-(position,
     head) f32 scales — the decode loop is HBM-bound on cache reads at large
     batch, and int8 halves that traffic (dequant fuses into the attention
     matmul reads). Prefill attention always runs full precision; only what
-    the cache hands back to later steps is quantized."""
+    the cache hands back to later steps is quantized.
+
+    flat=True stores (L, B, S, D) with heads merged into lanes — the layout
+    the fused decode kernel consumes. The 5D (L, B, S, H, Dh) layout's
+    (H, Dh) minor dims get tile-padded on TPU, so a reshape at the kernel
+    boundary would repack the WHOLE cache every step (measured ~0.7 ms per
+    252 MB); storing flat removes the reshape from the hot loop entirely."""
+    if flat:
+        assert not quantized, "flat cache is for the fused (bf16) path"
+        shape = (dims.layers, batch, max_len, dims.dim)
+        return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
     shape = (dims.layers, batch, max_len, dims.heads, dims.head_dim)
     if not quantized:
         return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
@@ -175,6 +185,7 @@ def gpt2_prefill(params: Params, x: jnp.ndarray, dims: GPT2Dims,
     mask = jnp.logical_and(causal, attn_mask[:, None, None, :].astype(bool))
 
     quantized = "ks" in kv_cache
+    flat = kv_cache["k"].ndim == 4  # (L, B, S, D): fused-decode layout
 
     def body(carry, inputs):
         xc = carry
@@ -182,6 +193,23 @@ def gpt2_prefill(params: Params, x: jnp.ndarray, dims: GPT2Dims,
         h = nn.layer_norm(lp["ln_1"], xc)
         qkv = nn.dense(lp["attn"]["c_attn"], h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
+        if flat:
+            cache = dict(cache)
+            cache["k"] = jax.lax.dynamic_update_slice(
+                cache["k"], k.astype(cache["k"].dtype), (0, 0, 0))
+            cache["v"] = jax.lax.dynamic_update_slice(
+                cache["v"], v.astype(cache["v"].dtype), (0, 0, 0))
+            q = q.reshape(B, T, dims.heads, dims.head_dim)
+            k = k.reshape(B, T, dims.heads, dims.head_dim)
+            v = v.reshape(B, T, dims.heads, dims.head_dim)
+            out = nn.mha(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                         v.transpose(0, 2, 1, 3), mask=mask)
+            out = out.transpose(0, 2, 1, 3).reshape(B, T, D)
+            xc = xc + nn.dense(lp["attn"]["c_proj"], out)
+            h = nn.layer_norm(lp["ln_2"], xc)
+            h = nn.gelu_new(nn.dense(lp["mlp"]["c_fc"], h))
+            xc = xc + nn.dense(lp["mlp"]["c_proj"], h)
+            return xc, cache
         q = q.reshape(B, T, dims.heads, dims.head_dim)
         k = k.reshape(B, T, dims.heads, dims.head_dim)
         v = v.reshape(B, T, dims.heads, dims.head_dim)

@@ -56,10 +56,11 @@ from indextts_tpu.models.gpt.gpt2 import GPT2Dims
 # weight N/K block width: divides 1280/3840/5120; (1280, 640) int8 = 819 KB
 # keeps the double-buffered pools (2 pools x 2 slots) under 3.3 MB of VMEM.
 _BN = 640
-# KV stream block: (8, 32, 1280) bf16 = 655 KB per slot; the attention math
-# works on the flattened (B*_BS, D) block, whose f32 temporaries are the
-# VMEM high-water mark — 32 keeps the whole kernel under ~12 MB
-_BS = 32
+# KV stream block: (8, 64, 1280) bf16 = 1.3 MB per slot; the attention math
+# works on the flattened (B*_BS, D) block — bigger blocks amortize the
+# per-block selector matmuls and loop overhead (the f32 temporaries are the
+# VMEM high-water mark; 64 fits, 128 does not)
+_BS = 64
 
 
 def _nwb(D: int, F: int) -> Tuple[int, int, int]:
@@ -133,14 +134,18 @@ def _kernel(pos_ref, x_ref, ln1w_ref, ln1b_ref, ln2w_ref, ln2b_ref,
             pltpu.make_async_copy(cv_ref.at[li, :, pl.ds(pl.multiple_of(i * _BS, 8), _BS), :],
                                   vbuf.at[slot], vsem.at[slot]).start()
 
+    # attention only iterates the LIVE blocks (slots <= pos), rounded up to
+    # an even count so the two DMA slots keep their parity across layers
+    nlive = jnp.minimum((pos // _BS + 2) & ~1, ns)
+
     def kv_start_next(i, slot):
         """From attention block i of layer l, refill `slot` with block i+2 —
-        rolling into layer l+1's blocks 0/1 past the end (ns is even, so the
-        slot parity lines up with the next layer's loop start). i is dynamic
-        (fori_loop); skipped blocks are never DMA'd."""
-        roll = i + 2 >= ns
+        rolling into layer l+1's blocks 0/1 past the live end (nlive is
+        even, so the slot parity lines up with the next layer's loop
+        start). i is dynamic (fori_loop); dead blocks are never DMA'd."""
+        roll = i + 2 >= nlive
         nxt_l = jnp.where(roll, l + 1, l)
-        nxt_i = jnp.where(roll, i + 2 - ns, i + 2)
+        nxt_i = jnp.where(roll, i + 2 - nlive, i + 2)
 
         @pl.when(jnp.logical_and(nxt_l < L, kv_used(nxt_i)))
         def _():
@@ -274,7 +279,7 @@ def _kernel(pos_ref, x_ref, ln1w_ref, ln1b_ref, ln2w_ref, ln2b_ref,
         return mb, lb, o_new, 1 - slot
 
     m_all, l_all, o_all, _ = jax.lax.fori_loop(
-        0, ns, attn_block, (m0, l0, o0, 0))
+        0, nlive, attn_block, (m0, l0, o0, 0))
 
     # current token as a final 1-wide block; live rows have start <= pos
     cur_valid = starts <= pos                              # (B, 1)
@@ -339,8 +344,11 @@ def fused_decode_step(params: Dict, x: jnp.ndarray, dims: GPT2Dims,
     """Drop-in for `gpt2_decode_step` on int8-quantized params + bf16 cache.
 
     x: (B, D) current-token embeddings; pos: scalar write index; kv_cache:
-    {"k","v"} (L, B, S, H, Dh) bf16; kv_valid: (B, S) bool. Returns
-    (hidden after ln_f, updated cache).
+    {"k","v"} (L, B, S, D) bf16 — the FLAT layout (`init_kv_cache(flat=
+    True)`): a 5D (L, B, S, H, Dh) cache would need a reshape here, and on
+    TPU that repacks the tile-padded (H, Dh) minor dims — the whole cache,
+    every step. kv_valid: (B, S) bool. Returns (hidden after ln_f, updated
+    cache).
     """
     from indextts_tpu import nn
 
@@ -354,9 +362,10 @@ def fused_decode_step(params: Dict, x: jnp.ndarray, dims: GPT2Dims,
     # parity must line up across layers for the cross-layer kv prefetch
     assert "q" in h["attn"]["c_attn"], "fused_decode_step requires int8 params"
     assert "ks" not in kv_cache, "fused_decode_step requires bf16 cache"
+    assert kv_cache["k"].ndim == 4, "fused_decode_step requires a flat cache"
 
-    ck = kv_cache["k"].reshape(L, B, S, D)
-    cv = kv_cache["v"].reshape(L, B, S, D)
+    ck = kv_cache["k"]
+    cv = kv_cache["v"]
     # decode validity is contiguous [start, pos]: recover the start from the
     # mask's popcount (dead rows -> start = pos + 1, nothing attendable)
     starts = (pos + 1
@@ -444,11 +453,11 @@ def fused_decode_step(params: Dict, x: jnp.ndarray, dims: GPT2Dims,
       h["mlp"]["c_fc"]["q"], h["mlp"]["c_proj"]["q"], ck, cv)
 
     new_cache = dict(kv_cache)
-    kn = k_new.reshape(L, B, 1, H, D // H)
-    vn = v_new.reshape(L, B, 1, H, D // H)
     new_cache["k"] = jax.lax.dynamic_update_slice(
-        kv_cache["k"], kn.astype(kv_cache["k"].dtype), (0, 0, pos, 0, 0))
+        kv_cache["k"], k_new[:, :, None, :].astype(kv_cache["k"].dtype),
+        (0, 0, pos, 0))
     new_cache["v"] = jax.lax.dynamic_update_slice(
-        kv_cache["v"], vn.astype(kv_cache["v"].dtype), (0, 0, pos, 0, 0))
+        kv_cache["v"], v_new[:, :, None, :].astype(kv_cache["v"].dtype),
+        (0, 0, pos, 0))
     x_f = nn.layer_norm(params["ln_f"], x_out)
     return x_f, new_cache
