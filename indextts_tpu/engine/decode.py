@@ -46,10 +46,14 @@ def _fused_decode_ok(params: Params, dims: GPT2Dims, B: int,
                      kv_quant: bool) -> bool:
     """Route the decode step through the fused multi-layer Pallas kernel
     (`ops/pallas/decode_step.py`) when the shapes/platform support it (the
-    cache is then sized by `_cache_len`, which 128-aligns the span)."""
+    cache is then sized by `_cache_len`, which 128-aligns the span).
+
+    Default ON for int8 decode on TPU: measured 1.43/1.54/1.71/2.08 ms per
+    token at (B=4 S=512 / 4,1024 / 8,512 / 8,1024) vs XLA's
+    2.40/3.25/3.21/4.97 — 1.7-2.4x. INDEXTTS_FUSED_DECODE=0 opts out."""
     import os
 
-    flag = os.environ.get("INDEXTTS_FUSED_DECODE", "0")
+    flag = os.environ.get("INDEXTTS_FUSED_DECODE", "1")
     if flag == "0":
         return False
     # "interp" forces the kernel in interpreter mode (CPU integration tests)
