@@ -43,7 +43,9 @@ import jax
 import jax.numpy as jnp
 
 from indextts_tpu.config import GPTConfig
-from indextts_tpu.engine.decode import SamplingConfig, _embed_mel_token
+from indextts_tpu.engine.decode import (SamplingConfig, _cache_len,
+                                        _decode_step, _embed_mel_token,
+                                        _fused_decode_ok)
 from indextts_tpu.models.gpt.gpt2 import (GPT2Dims, gpt2_decode_step,
                                           gpt2_prefill, init_kv_cache)
 from indextts_tpu.models.gpt.unified_voice import mel_logits_from_hidden
@@ -82,7 +84,9 @@ def generate_beam(params: Params, cfg: GPTConfig, dims: GPT2Dims,
     K = sampling.num_beams
     B, P, D = prefix_embeds.shape
     V = cfg.number_mel_codes
-    S = P + 1 + max_new_tokens
+    # fused multi-layer decode kernel when the beam-flattened batch fits
+    fused = _fused_decode_ok(params, dims, B * K, sampling.kv_quant)
+    S = _cache_len(P, max_new_tokens, fused)
     stop = cfg.stop_mel_token
     lp = sampling.length_penalty
     L = max_new_tokens
@@ -105,7 +109,7 @@ def generate_beam(params: Params, cfg: GPTConfig, dims: GPT2Dims,
         [pe, _embed_mel_token(params, start_tok, 0, dtype)[:, None, :]], axis=1)
     seq_mask = jnp.concatenate([pm, jnp.ones((B * K, 1), bool)], axis=1)
     kv = init_kv_cache(dims, B * K, S, dtype=dtype,
-                       quantized=sampling.kv_quant)
+                       quantized=sampling.kv_quant, flat=fused)
     hidden, kv = gpt2_prefill(params["gpt"], seq, dims, seq_mask, kv)
     logits0 = mel_logits_from_hidden(params, hidden[:, -1, :]).reshape(B, K, V)
 
@@ -272,7 +276,7 @@ def generate_beam(params: Params, cfg: GPTConfig, dims: GPT2Dims,
         x = _embed_mel_token(params, prev_tok.reshape(B * K), step + 1, dtype)
         pos = P + 1 + step
         kv_valid = kv_valid.at[:, pos].set(True)
-        h, kv = gpt2_decode_step(params["gpt"], x, dims, pos, kv, kv_valid)
+        h, kv = _decode_step(fused, params, x, dims, pos, kv, kv_valid)
         logits = mel_logits_from_hidden(params, h).reshape(B, K, V)
         logits = min_len_mask3(logits, step)
         combined = v_scores(logits, counts, beam_scores)
