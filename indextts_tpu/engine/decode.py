@@ -101,7 +101,9 @@ class SamplingConfig:
     length_penalty: float = 0.0
     min_new_tokens: int = 0
     # int8 KV cache (decode-side only; prefill attention stays exact).
-    # Halves the HBM cache traffic that dominates large-batch decode.
+    # Halves cache MEMORY; measured slightly SLOWER than bf16 on the XLA
+    # decode path (attention-side dequant outweighs the saved DMA) and it
+    # disables the fused decode kernel — use for memory headroom only.
     kv_quant: bool = False
 
 
