@@ -50,7 +50,10 @@ def _fused_decode_ok(params: Params, dims: GPT2Dims, B: int,
 
     Default ON for int8 decode on TPU: measured 1.43/1.54/1.71/2.08 ms per
     token at (B=4 S=512 / 4,1024 / 8,512 / 8,1024) vs XLA's
-    2.40/3.25/3.21/4.97 — 1.7-2.4x. INDEXTTS_FUSED_DECODE=0 opts out."""
+    2.40/3.25/3.21/4.97 — 1.7-2.4x — and 1.96 at B=12/S=512.
+    INDEXTTS_FUSED_DECODE=0 opts out. The cap is B <= 12: B=16's VMEM
+    footprint exceeds the 16 MB scoped limit by ~0.8 MB (loud compile
+    error), and 13-15 are unvalidated."""
     import os
 
     flag = os.environ.get("INDEXTTS_FUSED_DECODE", "1")
@@ -63,7 +66,7 @@ def _fused_decode_ok(params: Params, dims: GPT2Dims, B: int,
         quantized = "q" in params["gpt"]["h"]["attn"]["c_attn"]
     except (KeyError, TypeError):
         quantized = False
-    return (quantized and not kv_quant and B <= 8
+    return (quantized and not kv_quant and B <= 12
             and dims.dim % 640 == 0 and (4 * dims.dim) % 640 == 0)
 
 

@@ -33,7 +33,7 @@ Reference analogue: the accel engine's CUDA-graph decode + paged flash-attn
 `accel/attention.py:107-154`) — here the graph capture is the single fused
 kernel and the page table is a dense span bucket.
 
-Constraints: D=1280-class dims (D, 3D, 4D multiples of 640), B <= 8 (pad
+Constraints: D=1280-class dims (D, 3D, 4D multiples of 640), B <= 12 (pad
 rows; kv_valid all-False marks dead rows), span S a multiple of 128, bf16
 cache. Verified against `gpt2_decode_step` in tests/test_decode_kernel.py
 (interpret mode on CPU + device parity).
