@@ -29,11 +29,9 @@ import tempfile
 import wave
 from pathlib import Path
 
-EXIT_SUCCESS = 0
-EXIT_INPUT_ERROR = 1
-EXIT_MISSING_RESOURCE = 2
-EXIT_RUNTIME_UNAVAILABLE = 3
-EXIT_INFERENCE_ERROR = 4
+# exit-code contract (pinned by the reference CLI and its test suite)
+(EXIT_SUCCESS, EXIT_INPUT_ERROR, EXIT_MISSING_RESOURCE,
+ EXIT_RUNTIME_UNAVAILABLE, EXIT_INFERENCE_ERROR) = range(5)
 
 REQUIRED_MODEL_FILES = (
     "config.yaml", "bpe.model", "gpt.pth", "s2mel.pth",
@@ -94,6 +92,8 @@ class ConcatFileError(_ExitCodedError):
 
 
 class ConcatExecutionError(RuntimeError):
+    """Concat synthesis failed; carries any secondary cleanup failure."""
+
     def __init__(self, message, cleanup_error=None):
         super().__init__(message)
         self.cleanup_error = cleanup_error
@@ -443,12 +443,13 @@ def _download_model_resources(source, model_dir):
     dl.ensure_models_available(str(model_dir))
 
 
+_DOWNLOAD_SUPPORT = {"auto": "huggingface_hub modelscope",
+                     "huggingface": "huggingface_hub",
+                     "modelscope": "modelscope"}
+
+
 def _download_support_package(source):
-    if source == "auto":
-        return "huggingface_hub modelscope"
-    if source == "huggingface":
-        return "huggingface_hub"
-    return "modelscope"
+    return _DOWNLOAD_SUPPORT.get(source, "modelscope")
 
 
 def _run_check(args):
@@ -767,18 +768,18 @@ def _run_concat(args):
     except ConcatFileError as exc:
         print(f"ERROR: {exc}", file=sys.stderr)
         return exc.exit_code
-    if not args.dry_run:
-        try:
-            _concatenate_wav_segments(segments, output_path)
-        except ConcatExecutionError as exc:
-            print(f"ERROR: concat failed: {exc}", file=sys.stderr)
-            if exc.cleanup_error is not None:
-                print(f"WARNING: cleanup failed: {exc.cleanup_error}",
-                      file=sys.stderr)
-            return EXIT_INFERENCE_ERROR
-        print(f"Generated: {output_path}")
+    if args.dry_run:
+        print(f"Concat file OK: {len(segments)} segments")
         return EXIT_SUCCESS
-    print(f"Concat file OK: {len(segments)} segments")
+    try:
+        _concatenate_wav_segments(segments, output_path)
+    except ConcatExecutionError as exc:
+        print(f"ERROR: concat failed: {exc}", file=sys.stderr)
+        if exc.cleanup_error is not None:
+            print(f"WARNING: cleanup failed: {exc.cleanup_error}",
+                  file=sys.stderr)
+        return EXIT_INFERENCE_ERROR
+    print(f"Generated: {output_path}")
     return EXIT_SUCCESS
 
 
