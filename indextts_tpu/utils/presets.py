@@ -35,11 +35,11 @@ def get_presets_dir() -> Path:
 
 
 def safe_preset_name(name: str) -> str:
-    name = name.strip()
-    name = re.sub(r'[\\/:*?"<>|]+', "_", name)
-    name = re.sub(r"\s+", "_", name)
-    name = name.strip("._")
-    return name or "untitled"
+    """Filesystem-safe preset directory name (format pinned by the preset
+    dir layout: path separators / shell metacharacters / whitespace -> _)."""
+    cleaned = re.sub(r"\s+", "_",
+                     re.sub(r'[\\/:*?"<>|]+', "_", name.strip()))
+    return cleaned.strip("._") or "untitled"
 
 
 def list_presets() -> List[str]:
@@ -51,7 +51,8 @@ def list_presets() -> List[str]:
 
 
 def _preset_dir(name: str) -> Path:
-    return get_presets_dir() / safe_preset_name(name)
+    base = get_presets_dir()
+    return base / safe_preset_name(name)
 
 
 def _copy_audio(src: Optional[str], dst_dir: Path, dst_name: str) -> Optional[str]:
