@@ -37,6 +37,7 @@ is token-identical to B single-row calls seeded with those keys.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -54,6 +55,17 @@ from indextts_tpu.ops.sampling import (apply_repetition_penalty, apply_temperatu
                                        apply_top_k, apply_top_p)
 
 NEG = jnp.float32(-1e9)
+
+# kv stream block length of the fused decode kernel (ops/pallas/decode_step)
+_ANC_BS = 64
+
+
+def _anc_flat(anc: jnp.ndarray, S: int) -> jnp.ndarray:
+    """(B*K, S) in-group ancestry -> the kernel's (S//64, B*K*64, 1) flat
+    block layout (flat row of slot s in block i is r*64 + (s - i*64))."""
+    BK = anc.shape[0]
+    a = anc.reshape(BK, S // _ANC_BS, _ANC_BS).transpose(1, 0, 2)
+    return a.reshape(S // _ANC_BS, BK * _ANC_BS, 1).astype(jnp.bfloat16)
 
 
 def _row_keys(rng, B: int):
@@ -86,6 +98,13 @@ def generate_beam(params: Params, cfg: GPTConfig, dims: GPT2Dims,
     V = cfg.number_mel_codes
     # fused multi-layer decode kernel when the beam-flattened batch fits
     fused = _fused_decode_ok(params, dims, B * K, sampling.kv_quant)
+    # ancestry-select mode: the cache stays UNORDERED and the kernel selects
+    # K/V by a per-position in-group ancestry map — the per-step (B*K, S)
+    # cache gather (the HF reorder, ~2x the whole step at full scale)
+    # disappears; only the (B*K, S) int32 map is gathered.
+    # INDEXTTS_BEAM_ANC=0 restores the gather path (A/B + fallback).
+    use_anc = (fused and K > 1 and B * K <= 12
+               and os.environ.get("INDEXTTS_BEAM_ANC", "1") != "0")
     S = _cache_len(P, max_new_tokens, fused)
     stop = cfg.stop_mel_token
     lp = sampling.length_penalty
@@ -129,6 +148,10 @@ def generate_beam(params: Params, cfg: GPTConfig, dims: GPT2Dims,
     hyp_lens0 = jnp.zeros((B, K), jnp.int32)
     row_keys0 = _row_keys(rng, B)                                 # (B,) keys
     row_done0 = jnp.zeros((B,), bool)
+    # in-group ancestry map (own index everywhere; prefix rows are identical
+    # across a row's beams, so any in-group value is valid there)
+    own_idx = jnp.arange(B * K, dtype=jnp.int32) % K
+    anc0 = jnp.broadcast_to(own_idx[:, None], (B * K, S))
 
     # ---- per-row scorer pieces (vmapped over B) ----------------------------
 
@@ -224,7 +247,7 @@ def generate_beam(params: Params, cfg: GPTConfig, dims: GPT2Dims,
         return n_full & (worst_hyp >= best_live)
 
     def advance(step, combined, rkeys, beam_scores, hyp_scores, hyp_tokens,
-                hyp_lens, tokens, counts, kv, kv_valid, row_done):
+                hyp_lens, tokens, counts, kv, kv_valid, anc, row_done):
         """One scorer step over all rows; freezes rows already done."""
         rk = v_split(rkeys, 2)                      # (B, 2) keys
         rkeys, rs = rk[:, 0], rk[:, 1]
@@ -249,20 +272,30 @@ def generate_beam(params: Params, cfg: GPTConfig, dims: GPT2Dims,
 
         tokens, counts = jax.vmap(reorder, in_axes=(0, 0, 0, 0, None))(
             tokens, counts, nb, nt, step)
-        gidx = (jnp.arange(B)[:, None] * K + nb).reshape(-1)
-        kv = {name: buf[:, gidx] for name, buf in kv.items()}
-        kv_valid = kv_valid[gidx]
+        if K > 1:  # K == 1: nb is always identity, nothing to reorder
+            gidx = (jnp.arange(B)[:, None] * K + nb).reshape(-1)
+            if use_anc:
+                # cache rows never move; only the tiny ancestry map does.
+                # (body stamped anc[:, pos] = own index before the decode
+                # step, so anc[gidx][r', pos] = parent's index — the chain
+                # composes by construction.) kv_valid rows are identical
+                # within a group (same start, lock-step writes): no gather.
+                anc = anc[gidx]
+            else:
+                kv = {name: buf[:, gidx] for name, buf in kv.items()}
+                kv_valid = kv_valid[gidx]
         row_done = row_done | row_is_done(ns, hs, step)
         return (rkeys, nb, nt, ns, hs, ht, hl, tokens, counts, kv, kv_valid,
-                row_done)
+                anc, row_done)
 
     # --- first step (expands beam 0 only of every row) ----------------------
     logits0 = min_len_mask3(logits0, 0)
     combined0 = v_scores(logits0, counts0, beam_scores0)
     (row_keys, _, nt0, beam_scores, hyp_scores, hyp_tokens, hyp_lens, tokens,
-     counts, kv, kv_valid, row_done) = advance(
+     counts, kv, kv_valid, anc, row_done) = advance(
         jnp.int32(0), combined0, row_keys0, beam_scores0, hyp_scores0,
-        hyp_tokens0, hyp_lens0, tokens0, counts0, kv, kv_valid, row_done0)
+        hyp_tokens0, hyp_lens0, tokens0, counts0, kv, kv_valid, anc0,
+        row_done0)
 
     def cond(state):
         (step, _, beam_scores, hyp_scores, *_rest, row_done) = state
@@ -270,27 +303,34 @@ def generate_beam(params: Params, cfg: GPTConfig, dims: GPT2Dims,
 
     def body(state):
         (step, rkeys, beam_scores, hyp_scores, hyp_tokens, hyp_lens, tokens,
-         counts, kv, kv_valid, prev_tok, row_done) = state
+         counts, kv, kv_valid, anc, prev_tok, row_done) = state
         # embed prev token (pos quirk: token i gets mel pos i+2; prev is
         # i=step-1)
         x = _embed_mel_token(params, prev_tok.reshape(B * K), step + 1, dtype)
         pos = P + 1 + step
         kv_valid = kv_valid.at[:, pos].set(True)
-        h, kv = _decode_step(fused, params, x, dims, pos, kv, kv_valid)
+        if use_anc:
+            # this step's k/v at `pos` is computed by each slot itself; stamp
+            # own index so advance()'s anc[gidx] inherits the parent pointer
+            anc = anc.at[:, pos].set(own_idx)
+            h, kv = _decode_step(fused, params, x, dims, pos, kv, kv_valid,
+                                 anc=_anc_flat(anc, S), group=K)
+        else:
+            h, kv = _decode_step(fused, params, x, dims, pos, kv, kv_valid)
         logits = mel_logits_from_hidden(params, h).reshape(B, K, V)
         logits = min_len_mask3(logits, step)
         combined = v_scores(logits, counts, beam_scores)
         (rkeys, _, new_toks, beam_scores, hyp_scores, hyp_tokens, hyp_lens,
-         tokens, counts, kv, kv_valid, row_done) = advance(
+         tokens, counts, kv, kv_valid, anc, row_done) = advance(
             step, combined, rkeys, beam_scores, hyp_scores, hyp_tokens,
-            hyp_lens, tokens, counts, kv, kv_valid, row_done)
+            hyp_lens, tokens, counts, kv, kv_valid, anc, row_done)
         return (step + 1, rkeys, beam_scores, hyp_scores, hyp_tokens, hyp_lens,
-                tokens, counts, kv, kv_valid, new_toks, row_done)
+                tokens, counts, kv, kv_valid, anc, new_toks, row_done)
 
     state = (jnp.int32(1), row_keys, beam_scores, hyp_scores, hyp_tokens,
-             hyp_lens, tokens, counts, kv, kv_valid, nt0, row_done)
+             hyp_lens, tokens, counts, kv, kv_valid, anc, nt0, row_done)
     (step, _, beam_scores, hyp_scores, hyp_tokens, hyp_lens, tokens, _, _, _,
-     _, row_done) = jax.lax.while_loop(cond, body, state)
+     _, _, row_done) = jax.lax.while_loop(cond, body, state)
 
     # finalize: close remaining live beams of rows the scorer has NOT marked
     # done (HF finalize skips done rows)

@@ -51,9 +51,9 @@ def _fused_decode_ok(params: Params, dims: GPT2Dims, B: int,
     Default ON for int8 decode on TPU: measured 1.43/1.54/1.71/2.08 ms per
     token at (B=4 S=512 / 4,1024 / 8,512 / 8,1024) vs XLA's
     2.40/3.25/3.21/4.97 — 1.7-2.4x — and 1.96 at B=12/S=512.
-    INDEXTTS_FUSED_DECODE=0 opts out. The cap is B <= 12: B=16's VMEM
-    footprint exceeds the 16 MB scoped limit by ~0.8 MB (loud compile
-    error), and 13-15 are unvalidated."""
+    INDEXTTS_FUSED_DECODE=0 opts out. B <= 12 streams the cache in 64-slot
+    blocks; 13-24 drop to 32-slot blocks (halved VMEM high-water mark —
+    B=16's 64-slot footprint exceeded the 16 MB scope by ~0.8 MB)."""
     import os
 
     flag = os.environ.get("INDEXTTS_FUSED_DECODE", "1")
@@ -66,7 +66,7 @@ def _fused_decode_ok(params: Params, dims: GPT2Dims, B: int,
         quantized = "q" in params["gpt"]["h"]["attn"]["c_attn"]
     except (KeyError, TypeError):
         quantized = False
-    return (quantized and not kv_quant and B <= 12
+    return (quantized and not kv_quant and B <= 24
             and dims.dim % 640 == 0 and (4 * dims.dim) % 640 == 0)
 
 
@@ -79,7 +79,7 @@ def _cache_len(P: int, span: int, fused: bool) -> int:
 
 
 def _decode_step(fused: bool, params: Params, x, dims: GPT2Dims, pos, kv,
-                 kv_valid):
+                 kv_valid, anc=None, group: int = 1):
     if fused:
         import os
 
@@ -87,7 +87,7 @@ def _decode_step(fused: bool, params: Params, x, dims: GPT2Dims, pos, kv,
 
         interp = os.environ.get("INDEXTTS_FUSED_DECODE", "0") == "interp"
         return fused_decode_step(params["gpt"], x, dims, pos, kv, kv_valid,
-                                 interpret=interp)
+                                 interpret=interp, anc=anc, group=group)
     return gpt2_decode_step(params["gpt"], x, dims, pos, kv, kv_valid)
 
 

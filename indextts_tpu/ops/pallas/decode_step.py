@@ -33,10 +33,11 @@ Reference analogue: the accel engine's CUDA-graph decode + paged flash-attn
 `accel/attention.py:107-154`) — here the graph capture is the single fused
 kernel and the page table is a dense span bucket.
 
-Constraints: D=1280-class dims (D, 3D, 4D multiples of 640), B <= 12 (pad
-rows; kv_valid all-False marks dead rows), span S a multiple of 128, bf16
-cache. Verified against `gpt2_decode_step` in tests/test_decode_kernel.py
-(interpret mode on CPU + device parity).
+Constraints: D=1280-class dims (D, 3D, 4D multiples of 640), B <= 24 (pad
+rows; kv_valid all-False marks dead rows; B <= 12 streams 64-slot kv blocks,
+13-24 use 32-slot blocks to halve the VMEM high-water mark), span S a
+multiple of 128, bf16 cache. Verified against `gpt2_decode_step` in
+tests/test_decode_kernel.py (interpret mode on CPU + device parity).
 """
 
 from __future__ import annotations
@@ -72,16 +73,23 @@ def _kernel(pos_ref, x_ref, ln1w_ref, ln1b_ref, ln2w_ref, ln2b_ref,
             sqkv_ref, bqkv_ref, sproj_ref, bproj_ref, sfc_ref, bfc_ref,
             sp2_ref, bp2_ref, starts_ref, e1_ref, e1t_ref,
             wqkv_ref, wproj_ref, wfc_ref, wp2_ref, ck_ref, cv_ref,
-            xo_ref, kn_ref, vn_ref,
-            xc_ref, qkv_ref, wbuf, pbuf, kbuf, vbuf,
-            wsem, psem, ksem, vsem,
-            *, L: int, B: int, D: int, F: int, H: int, S: int):
+            *rest, L: int, B: int, D: int, F: int, H: int, S: int,
+            K: int = 1, BS: int = _BS):
+    # rest = [anc_ref (K>1 only)], outputs x3, scratch x6, sems x4,
+    #        [abuf, asem (K>1 only)]
+    if K > 1:
+        anc_ref = rest[0]
+        rest = rest[1:]
+    (xo_ref, kn_ref, vn_ref, xc_ref, qkv_ref, wbuf, pbuf, kbuf, vbuf,
+     wsem, psem, ksem, vsem) = rest[:13]
+    if K > 1:
+        abuf, asem = rest[13:15]
     l = pl.program_id(0)
     Dh = D // H
     nq, npj, nf = _nwb(D, F)
     nw = nq + npj + nf          # (D, _BN) pool blocks per layer
     np2 = F // _BN              # (_BN, D) pool blocks per layer
-    ns = S // _BS               # kv blocks per layer
+    ns = S // BS               # kv blocks per layer
     scale = 1.0 / math.sqrt(Dh)
     pos = pos_ref[0]
 
@@ -123,20 +131,29 @@ def _kernel(pos_ref, x_ref, ln1w_ref, ln1b_ref, ln2w_ref, ln2b_ref,
                 p_start(l + 1, j + 2 - np2, slot)
 
     def kv_used(i):
-        # block i holds slots [i*_BS, (i+1)*_BS); slots <= pos are live
-        return i * _BS <= pos
+        # block i holds slots [i*BS, (i+1)*BS); slots <= pos are live
+        return i * BS <= pos
+
+    def anc_start(i, slot):
+        """Beam-ancestry block i -> abuf[slot] (K > 1 only). The map is
+        layer-invariant, but re-DMA per use keeps the slot protocol identical
+        to k/v (3 KB per copy — noise next to the 1.3 MB kv blocks)."""
+        if K > 1:
+            pltpu.make_async_copy(anc_ref.at[pl.ds(i, 1)], abuf.at[slot],
+                                  asem.at[slot]).start()
 
     def kv_start(li, i, slot):
         @pl.when(kv_used(i))
         def _():
-            pltpu.make_async_copy(ck_ref.at[li, :, pl.ds(pl.multiple_of(i * _BS, 8), _BS), :],
+            pltpu.make_async_copy(ck_ref.at[li, :, pl.ds(pl.multiple_of(i * BS, 8), BS), :],
                                   kbuf.at[slot], ksem.at[slot]).start()
-            pltpu.make_async_copy(cv_ref.at[li, :, pl.ds(pl.multiple_of(i * _BS, 8), _BS), :],
+            pltpu.make_async_copy(cv_ref.at[li, :, pl.ds(pl.multiple_of(i * BS, 8), BS), :],
                                   vbuf.at[slot], vsem.at[slot]).start()
+            anc_start(i, slot)
 
     # attention only iterates the LIVE blocks (slots <= pos), rounded up to
     # an even count so the two DMA slots keep their parity across layers
-    nlive = jnp.minimum((pos // _BS + 2) & ~1, ns)
+    nlive = jnp.minimum((pos // BS + 2) & ~1, ns)
 
     def kv_start_next(i, slot):
         """From attention block i of layer l, refill `slot` with block i+2 —
@@ -149,13 +166,14 @@ def _kernel(pos_ref, x_ref, ln1w_ref, ln1b_ref, ln2w_ref, ln2b_ref,
 
         @pl.when(jnp.logical_and(nxt_l < L, kv_used(nxt_i)))
         def _():
-            off = pl.multiple_of(nxt_i * _BS, 8)
+            off = pl.multiple_of(nxt_i * BS, 8)
             pltpu.make_async_copy(
-                ck_ref.at[nxt_l, :, pl.ds(off, _BS), :],
+                ck_ref.at[nxt_l, :, pl.ds(off, BS), :],
                 kbuf.at[slot], ksem.at[slot]).start()
             pltpu.make_async_copy(
-                cv_ref.at[nxt_l, :, pl.ds(off, _BS), :],
+                cv_ref.at[nxt_l, :, pl.ds(off, BS), :],
                 vbuf.at[slot], vsem.at[slot]).start()
+            anc_start(nxt_i, slot)
 
     # ---- prime the pipelines (first grid step only) -----------------------
     @pl.when(l == 0)
@@ -206,8 +224,8 @@ def _kernel(pos_ref, x_ref, ln1w_ref, ln1b_ref, ln2w_ref, ln2b_ref,
     # Formulation chosen for what Mosaic actually lowers (probed on device):
     # leading-dim reshapes, 2D matmuls, and elementwise — NO batched
     # dot_general, NO lane-segment reductions. Scores for all (b, h) at once:
-    #     prod = k_block_flat * q_expanded          (B*_BS, D) elementwise
-    #     s    = prod @ E1                          (B*_BS, 128) MXU
+    #     prod = k_block_flat * q_expanded          (B*BS, D) elementwise
+    #     s    = prod @ E1                          (B*BS, 128) MXU
     # where E1[d, h] = [d // Dh == h] sums each head's 64 lanes; E1's
     # transpose re-expands per-head scalars (probs, softmax corrections)
     # back to the lane layout. Running (m, l) live as (B, 128) with one
@@ -224,52 +242,79 @@ def _kernel(pos_ref, x_ref, ln1w_ref, ln1b_ref, ln2w_ref, ln2b_ref,
     # loop-invariant per-layer expansions: q rows / starts per flat row
     qbf = q.astype(jnp.bfloat16)
     qexp = jnp.concatenate(
-        [jnp.broadcast_to(qbf[b:b + 1, :], (_BS, D)) for b in range(B)], 0)
+        [jnp.broadcast_to(qbf[b:b + 1, :], (BS, D)) for b in range(B)], 0)
     starts = starts_ref[...]                              # (B, 1) int32
     sexp = jnp.concatenate(
-        [jnp.broadcast_to(starts[b:b + 1, :], (_BS, 1)) for b in range(B)], 0)
-    jrow = jax.lax.broadcasted_iota(jnp.int32, (B * _BS, 1), 0) % _BS
+        [jnp.broadcast_to(starts[b:b + 1, :], (BS, 1)) for b in range(B)], 0)
+    jrow = jax.lax.broadcasted_iota(jnp.int32, (B * BS, 1), 0) % BS
 
     def attn_block(i, carry):
         m_all, l_all, o_all, slot = carry
         kc = pltpu.make_async_copy(
-            ck_ref.at[l, :, pl.ds(i * _BS, _BS), :], kbuf.at[slot],
+            ck_ref.at[l, :, pl.ds(i * BS, BS), :], kbuf.at[slot],
             ksem.at[slot])
         vc = pltpu.make_async_copy(
-            cv_ref.at[l, :, pl.ds(i * _BS, _BS), :], vbuf.at[slot],
+            cv_ref.at[l, :, pl.ds(i * BS, BS), :], vbuf.at[slot],
             vsem.at[slot])
 
         @pl.when(kv_used(i))
         def _():
             kc.wait()
             vc.wait()
+            if K > 1:
+                pltpu.make_async_copy(anc_ref.at[pl.ds(i, 1)], abuf.at[slot],
+                                      asem.at[slot]).wait()
 
-        kb2 = kbuf[slot].reshape(B * _BS, D)              # bf16
-        vb2 = vbuf[slot].reshape(B * _BS, D)
+        if K == 1:
+            kb2 = kbuf[slot].reshape(B * BS, D)          # bf16
+            vb2 = vbuf[slot].reshape(B * BS, D)
+        else:
+            # Beam-ancestry K/V selection: the cache is UNORDERED (physical
+            # row r always holds what beam slot r computed), and
+            # anc[r, g] in [0, K) names the in-group physical row whose
+            # entry at position g belongs to slot r's hypothesis. Selecting
+            # the raw bf16 values BEFORE any arithmetic keeps the math
+            # bit-identical to a physically gathered cache, at zero HBM
+            # gather cost (the per-step reorder the HF path pays in
+            # `transformers_generation_utils.py:3325` via index_select).
+            kb3, vb3 = kbuf[slot], vbuf[slot]             # (B, BS, D)
+
+            def perm(buf, j):
+                """Rows remapped to in-group offset j, flat (B*BS, D)."""
+                return jnp.concatenate(
+                    [buf[(r // K) * K + j] for r in range(B)], 0)
+
+            av = abuf[slot][0]                            # (B*BS, 1) bf16
+            kb2 = perm(kb3, K - 1)
+            vb2 = perm(vb3, K - 1)
+            for j in range(K - 2, -1, -1):
+                mj = av == jnp.bfloat16(j)
+                kb2 = jnp.where(mj, perm(kb3, j), kb2)
+                vb2 = jnp.where(mj, perm(vb3, j), vb2)
         # validity is the contiguous range [start_b, pos): decode masks are
         # always left-pad + generated-so-far. Slot `pos` itself enters via
         # the explicit current-token term below.
-        g = i * _BS + jrow                                # (B*_BS, 1)
+        g = i * BS + jrow                                # (B*BS, 1)
         valid = jnp.logical_and(g >= sexp, g < pos)
         valid = jnp.logical_and(valid, kv_used(i))
         kv_start_next(i, slot)
 
         prod = kb2 * qexp                                 # bf16
         s128 = jnp.dot(prod, e1, preferred_element_type=jnp.float32)
-        s128 = jnp.where(valid, s128, neg)                # (B*_BS, 128)
-        s3 = s128.reshape(B, _BS, 128)
+        s128 = jnp.where(valid, s128, neg)                # (B*BS, 128)
+        s3 = s128.reshape(B, BS, 128)
         mb = jnp.maximum(m_all, jnp.max(s3, axis=1))      # (B, 128)
         # explicit zero for masked slots: with an all-masked running max
         # (-1e9), exp(s - mb) would be exp(0) = 1, not 0
-        p3 = jnp.where(valid.reshape(B, _BS, 1),
+        p3 = jnp.where(valid.reshape(B, BS, 1),
                        jnp.exp(s3 - mb[:, None, :]), 0.0)
         corr = jnp.exp(m_all - mb)                        # (B, 128)
         lb = l_all * corr + jnp.sum(p3, axis=1)
-        pexp = jnp.dot(p3.reshape(B * _BS, 128).astype(jnp.bfloat16),
+        pexp = jnp.dot(p3.reshape(B * BS, 128).astype(jnp.bfloat16),
                        e1t.astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)
         contrib = jnp.sum((pexp.astype(jnp.bfloat16) * vb2)
-                          .astype(jnp.float32).reshape(B, _BS, D), axis=1)
+                          .astype(jnp.float32).reshape(B, BS, D), axis=1)
         # a skipped block's buffer is uninitialized (possibly NaN); p == 0
         # does not save the products (0 * NaN = NaN), so gate the result
         contrib = jnp.where(kv_used(i), contrib, 0.0)
@@ -336,11 +381,13 @@ def _kernel(pos_ref, x_ref, ln1w_ref, ln1b_ref, ln2w_ref, ln2b_ref,
     xo_ref[...] = x
 
 
-@functools.partial(jax.jit, static_argnames=("dims", "interpret"))
+@functools.partial(jax.jit, static_argnames=("dims", "interpret", "group"))
 def fused_decode_step(params: Dict, x: jnp.ndarray, dims: GPT2Dims,
                       pos: jnp.ndarray, kv_cache: Dict,
                       kv_valid: jnp.ndarray,
-                      interpret: bool = False) -> Tuple[jnp.ndarray, Dict]:
+                      interpret: bool = False,
+                      anc: jnp.ndarray = None,
+                      group: int = 1) -> Tuple[jnp.ndarray, Dict]:
     """Drop-in for `gpt2_decode_step` on int8-quantized params + bf16 cache.
 
     x: (B, D) current-token embeddings; pos: scalar write index; kv_cache:
@@ -349,6 +396,13 @@ def fused_decode_step(params: Dict, x: jnp.ndarray, dims: GPT2Dims,
     TPU that repacks the tile-padded (H, Dh) minor dims — the whole cache,
     every step. kv_valid: (B, S) bool. Returns (hidden after ln_f, updated
     cache).
+
+    Beam mode (group=K > 1): B is the flattened rows*K beam batch, the cache
+    is UNORDERED (row r holds what slot r computed each step), and
+    anc (S//64, B*64, 1) bf16 holds the in-group ancestry index of each
+    (row, position) in the kernel's flat block layout
+    (`engine/beam.py::_anc_flat`). The kernel selects K/V values by ancestry
+    instead of the engine gathering the whole cache per step.
     """
     from indextts_tpu import nn
 
@@ -357,8 +411,12 @@ def fused_decode_step(params: Dict, x: jnp.ndarray, dims: GPT2Dims,
     h = params["h"]
     F = h["mlp"]["c_fc"]["q"].shape[-1]
     S = kv_cache["k"].shape[2]
+    # KV stream block: 64 slots up to B=12; 32 above (halves the kv-slot and
+    # f32-temporary VMEM high-water mark so B<=24 fits the 16 MB scope —
+    # VERDICT r2 item 5; beam mode keeps 64, its B*K gate is <= 12)
+    bs = _BS if B <= 12 else _BS // 2
     assert D % _BN == 0 and (3 * D) % _BN == 0 and F % _BN == 0, (D, F)
-    assert S % (2 * _BS) == 0 and S // _BS >= 2, S  # even #blocks: slot
+    assert S % (2 * bs) == 0 and S // bs >= 2, S  # even #blocks: slot
     # parity must line up across layers for the cross-layer kv prefetch
     assert "q" in h["attn"]["c_attn"], "fused_decode_step requires int8 params"
     assert "ks" not in kv_cache, "fused_decode_step requires bf16 cache"
@@ -400,10 +458,21 @@ def fused_decode_step(params: Dict, x: jnp.ndarray, dims: GPT2Dims,
     e1b = e1.astype(jnp.bfloat16)
     e1t = e1.T.astype(jnp.float32)
 
-    kernel = functools.partial(_kernel, L=L, B=B, D=D, F=F, H=H, S=S)
+    if group > 1:
+        assert bs == _BS, "beam ancestry mode requires B <= 12 (anc layout)"
+        assert anc is not None and anc.shape == (S // bs, B * bs, 1), (
+            anc if anc is None else anc.shape, (S // bs, B * bs, 1))
+        assert B % group == 0, (B, group)
+
+    kernel = functools.partial(_kernel, L=L, B=B, D=D, F=F, H=H, S=S,
+                               K=group, BS=bs)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     full = lambda shape: pl.BlockSpec(shape, lambda l, *_: (0,) * len(shape),
                                       memory_space=pltpu.VMEM)
+    anc_specs = [any_spec] if group > 1 else []
+    anc_args = [anc.astype(jnp.bfloat16)] if group > 1 else []
+    anc_scratch = [pltpu.VMEM((2, 1, B * bs, 1), jnp.bfloat16),
+                   pltpu.SemaphoreType.DMA((2,))] if group > 1 else []
     x_out, k_new, v_new = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -419,7 +488,7 @@ def fused_decode_step(params: Dict, x: jnp.ndarray, dims: GPT2Dims,
                 full((128, D)),                       # E1^T (f32)
                 any_spec, any_spec, any_spec, any_spec,   # weights
                 any_spec, any_spec,                   # cache k, v
-            ],
+            ] + anc_specs,
             out_specs=[
                 full((B, D)),
                 pl.BlockSpec((1, B, D), lambda l, *_: (l, 0, 0),
@@ -432,13 +501,13 @@ def fused_decode_step(params: Dict, x: jnp.ndarray, dims: GPT2Dims,
                 pltpu.VMEM((B, 3 * D), jnp.bfloat16),     # qkv
                 pltpu.VMEM((2, D, _BN), jnp.int8),        # w pool
                 pltpu.VMEM((2, _BN, D), jnp.int8),        # p pool
-                pltpu.VMEM((2, B, _BS, D), jnp.bfloat16),  # k blocks
-                pltpu.VMEM((2, B, _BS, D), jnp.bfloat16),  # v blocks
+                pltpu.VMEM((2, B, bs, D), jnp.bfloat16),  # k blocks
+                pltpu.VMEM((2, B, bs, D), jnp.bfloat16),  # v blocks
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
-            ],
+            ] + anc_scratch,
         ),
         out_shape=[
             jax.ShapeDtypeStruct((B, D), jnp.bfloat16),
@@ -450,7 +519,7 @@ def fused_decode_step(params: Dict, x: jnp.ndarray, dims: GPT2Dims,
       ln1w, ln1b, ln2w, ln2b, sqkv, bqkv, sproj, bproj, sfc, bfc, sp2, bp2,
       starts, e1b, e1t,
       h["attn"]["c_attn"]["q"], h["attn"]["c_proj"]["q"],
-      h["mlp"]["c_fc"]["q"], h["mlp"]["c_proj"]["q"], ck, cv)
+      h["mlp"]["c_fc"]["q"], h["mlp"]["c_proj"]["q"], ck, cv, *anc_args)
 
     new_cache = dict(kv_cache)
     new_cache["k"] = jax.lax.dynamic_update_slice(

@@ -46,7 +46,8 @@ def _flat(cache):
     return {k: v.reshape(L, B, S, H * Dh) for k, v in cache.items()}
 
 
-@pytest.mark.parametrize("B,S,pos", [(4, 128, 70), (8, 256, 255), (2, 128, 0)])
+@pytest.mark.parametrize("B,S,pos", [(4, 128, 70), (8, 256, 255), (2, 128, 0),
+                                     (16, 128, 70), (24, 128, 100)])
 def test_fused_decode_step_parity(B, S, pos):
     params, x, cache, mask, posv = _setup(B=B, S=S, pos=pos)
     ref_h, ref_cache = gpt2_decode_step(params, x, DIMS, posv, cache, mask)
@@ -173,6 +174,84 @@ def test_beam_fused_runs(monkeypatch):
     assert toks.shape == (B, 4)
     assert np.all(np.asarray(lens) >= 0)
     assert np.all((np.asarray(toks) >= 0) & (np.asarray(toks) < 50))
+
+
+def test_fused_decode_step_anc_parity():
+    """Beam-ancestry selection (group=K, unordered cache + anc map) must be
+    BIT-identical to running the kernel on a physically ancestry-gathered
+    cache — the whole point of the design is replacing the HF per-step cache
+    gather without changing a single output bit."""
+    from indextts_tpu.engine.beam import _anc_flat
+
+    K, B, S, pos = 2, 4, 128, 70
+    params, x, cache, mask, posv = _setup(B=B, S=S, pos=pos)
+    nprng = np.random.default_rng(42)
+    anc = nprng.integers(0, K, size=(B, S)).astype(np.int32)
+    flat = _flat(cache)
+    idx = (np.arange(B)[:, None] // K) * K + anc            # (B, S) abs rows
+    gathered = {kk: jnp.asarray(np.asarray(v)[:, idx, np.arange(S), :])
+                for kk, v in flat.items()}
+
+    ref_h, ref_cache = fused_decode_step(params, x, DIMS, posv, gathered,
+                                         mask, interpret=True)
+    got_h, got_cache = fused_decode_step(params, x, DIMS, posv, flat, mask,
+                                         interpret=True,
+                                         anc=_anc_flat(jnp.asarray(anc), S),
+                                         group=K)
+    np.testing.assert_array_equal(np.asarray(got_h, np.float32),
+                                  np.asarray(ref_h, np.float32))
+    # the newly written row is each slot's own k/v in both schemes
+    for key in ("k", "v"):
+        np.testing.assert_array_equal(
+            np.asarray(got_cache[key][:, :, pos], np.float32),
+            np.asarray(ref_cache[key][:, :, pos], np.float32))
+
+
+def test_beam_anc_matches_gather(monkeypatch):
+    """generate_beam with the in-kernel ancestry map (INDEXTTS_BEAM_ANC=1,
+    default) is token-identical to the per-step cache-gather path, through
+    the fused kernel in interpret mode, sampled + deterministic."""
+    from indextts_tpu.config import ConditionModuleConfig, GPTConfig
+    from indextts_tpu.engine import beam as bm
+    from indextts_tpu.engine.decode import SamplingConfig
+    from indextts_tpu.models.gpt.unified_voice import init_unified_voice
+
+    cfg = GPTConfig(
+        layers=2, model_dim=640, heads=10, max_text_tokens=30,
+        max_mel_tokens=60, number_text_tokens=40, number_mel_codes=50,
+        start_mel_token=48, stop_mel_token=49,
+        condition_module=ConditionModuleConfig(
+            output_size=32, linear_units=48, attention_heads=2, num_blocks=1,
+            input_layer="linear", perceiver_mult=2),
+        emo_condition_module=ConditionModuleConfig(
+            output_size=32, linear_units=48, attention_heads=2, num_blocks=1,
+            input_layer="linear", perceiver_mult=2))
+    dims = GPT2Dims(cfg.layers, cfg.model_dim, cfg.heads)
+    params = init_unified_voice(InitRng(0), cfg)
+    params["gpt"] = quantize_gpt2_int8(params["gpt"])
+    rng = np.random.default_rng(3)
+    B, P = 2, 7
+    prefix = jnp.asarray(rng.normal(0, 0.3, (B, P, cfg.model_dim)),
+                         jnp.bfloat16)
+    mask = jnp.ones((B, P), bool).at[0, 0].set(False)
+    key = jax.random.PRNGKey(5)
+    monkeypatch.setenv("INDEXTTS_FUSED_DECODE", "interp")
+
+    for samp in (SamplingConfig(do_sample=False, num_beams=3,
+                                repetition_penalty=1.0),
+                 SamplingConfig(do_sample=True, num_beams=3, temperature=0.9,
+                                top_k=10, top_p=0.95, repetition_penalty=2.0)):
+        monkeypatch.setenv("INDEXTTS_BEAM_ANC", "0")
+        bm.generate_beam.clear_cache()
+        t_ref, l_ref = bm.generate_beam(params, cfg, dims, prefix, mask, key,
+                                        max_new_tokens=8, sampling=samp)
+        monkeypatch.setenv("INDEXTTS_BEAM_ANC", "1")
+        bm.generate_beam.clear_cache()
+        t_anc, l_anc = bm.generate_beam(params, cfg, dims, prefix, mask, key,
+                                        max_new_tokens=8, sampling=samp)
+        bm.generate_beam.clear_cache()
+        np.testing.assert_array_equal(np.asarray(t_ref), np.asarray(t_anc))
+        np.testing.assert_array_equal(np.asarray(l_ref), np.asarray(l_anc))
 
 
 def test_generate_adaptive_fused_span_growth(monkeypatch):
