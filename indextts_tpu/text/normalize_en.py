@@ -199,13 +199,14 @@ def _verb_money(m: re.Match) -> str:
         amt = decimal_to_en(whole, frac) if frac else number_token_to_en(whole)
         return f"{amt} {scale.lower()} {major}s"
     w = int(whole.replace(",", ""))
+    cents = int(frac[:2].ljust(2, "0")) if frac else 0
+    minor_w = minor if cents == 1 else (
+        "pence" if minor == "penny" else minor + "s")
+    if w == 0 and cents:  # $0.99 -> ninety nine cents
+        return num_to_en(cents) + " " + minor_w
     out = number_token_to_en(whole) + " " + (major if w == 1 else major + "s")
-    if frac:
-        cents = int(frac[:2].ljust(2, "0"))
-        if cents:
-            minor_w = minor if cents == 1 else (
-                "pence" if minor == "penny" else minor + "s")
-            out += " " + num_to_en(cents) + " " + minor_w
+    if cents:
+        out += " " + num_to_en(cents) + " " + minor_w
     return out
 
 
@@ -239,6 +240,13 @@ def _verb_measure(m: re.Match) -> str:
     body = decimal_to_en(whole, frac) if frac else number_token_to_en(whole)
     singular = (whole.replace(",", "") == "1" and not frac)
     return ("minus " if neg else "") + body + " " + _unit_words(unit, singular)
+
+
+def _verb_decade(m: re.Match) -> str:
+    words = year_to_en(int(m.group("dec"))).split()
+    last = words[-1]
+    words[-1] = last[:-1] + "ies" if last.endswith("y") else last + "s"
+    return " ".join(words)
 
 
 def _verb_year(m: re.Match) -> str:
@@ -281,6 +289,8 @@ _MASTER = re.compile(
     # measure: 5kg, 3.5 km
     r"|(?P<uneg>-)?(?P<uw>\d+(?:,\d{3})*)(?:\.(?P<uf>\d+))?\s?"
     r"(?P<unit>" + _UNIT_ALT + r")(?![A-Za-z])"
+    # decades: the 1980s / 2010s
+    r"|(?<![\d,.])(?P<dec>(?:1[6-9]|20)\d0)s(?![a-z\d])"
     # bare year: 1999 (heuristic: 4-digit 1600-2099 standalone)
     r"|(?<![\d,.])(?P<yrx>1[6-9]\d{2}|20\d{2})(?![\d,.])(?!\s*(?:" + _UNIT_ALT + r"))"
     # decimal
@@ -300,6 +310,7 @@ _VERBALIZERS = {
     "fn": _verb_fraction,
     "ph": _verb_phone,
     "uw": _verb_measure,
+    "dec": _verb_decade,
     "yrx": _verb_year,
     "cw": _verb_decimal,
     "num": _verb_cardinal,

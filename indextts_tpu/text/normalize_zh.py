@@ -164,6 +164,15 @@ def _verb_money(m: re.Match) -> str:
     return number_token_to_zh(whole) + cur
 
 
+def _verb_percent_range(m: re.Match) -> str:
+    fa, fb = m.group("qfa") or "", m.group("qfb") or ""
+    left = decimal_to_zh(m.group("qa"), fa[1:]) if fa \
+        else number_token_to_zh(m.group("qa"))
+    right = decimal_to_zh(m.group("qb"), fb[1:]) if fb \
+        else number_token_to_zh(m.group("qb"))
+    return "百分之" + left + "到百分之" + right
+
+
 def _verb_percent(m: re.Match) -> str:
     neg = m.group("pneg") is not None
     whole, frac = m.group("pw"), m.group("pf")
@@ -214,7 +223,10 @@ def _verb_cardinal(m: re.Match) -> str:
     neg = m.group("nneg") is not None
     tok = m.group("num")
     nxt = m.group("nfol") or ""
-    if nxt and tok == "2" and nxt in _MEASURE_WORDS:
+    # 第2个 is the ordinal 第二个, not 第两个 (tn ordinal tagger outranks the
+    # liang rule)
+    prev = m.string[m.start("num") - 1] if m.start("num") > 0 else ""
+    if nxt and tok == "2" and nxt in _MEASURE_WORDS and prev != "第":
         return ("负" if neg else "") + "两" + nxt
     return ("负" if neg else "") + number_token_to_zh(tok) + nxt
 
@@ -223,6 +235,23 @@ def _verb_cardinal(m: re.Match) -> str:
 _DATE_YMD = re.compile(
     r"(\d{2,4})年(?:(1[0-2]|0?[1-9])月(?:(3[01]|[12]\d|0?[1-9])([日号]))?)?")
 _DATE_MD = re.compile(r"(?<!\d)(1[0-2]|0?[1-9])月(?:(3[01]|[12]\d|0?[1-9])([日号]))?")
+# date ranges: 5日-8日 / 3月5日~8日 read with 到; 2021年-2023年 likewise
+_DATE_DRANGE = re.compile(
+    r"(?<!\d)(3[01]|[12]\d|0?[1-9])([日号])\s*[-~～至]\s*"
+    r"(3[01]|[12]\d|0?[1-9])([日号])")
+_DATE_YRANGE = re.compile(r"(?<!\d)(\d{2,4})年\s*[-~～]\s*(\d{2,4})年")
+
+
+def _pre_date_ranges(text: str) -> str:
+    def dr(m: re.Match) -> str:
+        return (num_to_zh(int(m.group(1))) + m.group(2) + "到"
+                + num_to_zh(int(m.group(3))) + m.group(4))
+
+    def yr(m: re.Match) -> str:
+        return (digits_reading(m.group(1)) + "年到"
+                + digits_reading(m.group(2)) + "年")
+
+    return _DATE_DRANGE.sub(dr, _DATE_YRANGE.sub(yr, text))
 
 
 def _pre_dates(text: str) -> str:
@@ -251,6 +280,8 @@ _MASTER = re.compile(
     r"|(?<!\d)(?P<th>2[0-3]|[01]?\d):(?P<tm>[0-5]\d)(?::(?P<ts>[0-5]\d))?(?!\d)"
     # money: $3.5 ￥88
     r"|(?P<cur>[$￥¥€£])(?P<mw>\d+)(?:\.(?P<mf>\d+))?"
+    # percent range: 10-20% / 10~20%
+    r"|(?<![\d.\-])(?P<qa>\d+)(?P<qfa>\.\d+)?[-~～](?P<qb>\d+)(?P<qfb>\.\d+)?%"
     # percent: 62%, -3.5%
     r"|(?P<pneg>-)?(?P<pw>\d+)(?:\.(?P<pf>\d+))?%"
     # mobile phone: 11 digits starting 1[3-9]
@@ -259,8 +290,9 @@ _MASTER = re.compile(
     r"|(?<!\d)(?P<ll>0\d{2,3}-\d{7,8})(?!\d)"
     # fraction: 3/4
     r"|(?<![\d/])(?P<fn>\d{1,6})/(?P<fd>\d{1,6})(?![\d/])"
-    # numeric range: 3~5, 3-5个 (both sides short numbers)
-    r"|(?<!\d)(?P<ra>\d{1,6})(?P<rfa>\.\d+)?[~～](?P<rb>\d{1,6})(?P<rfb>\.\d+)?(?!\d)"
+    # numeric range: 3~5 or 3-5 (both sides short numbers; hyphen form ranks
+    # below dates/phones so 2021-08-24 and 0595-23865596 never reach it)
+    r"|(?<![\d.\-])(?P<ra>\d{1,6})(?P<rfa>\.\d+)?[-~～](?P<rb>\d{1,6})(?P<rfb>\.\d+)?(?!\d)"
     # measure: 2.5kg, -3°C
     r"|(?P<uneg>-)?(?P<uw>\d+)(?:\.(?P<uf>\d+))?(?P<unit>" + _UNIT_ALT + r")(?![A-Za-z])"
     # decimal: 3.14, -0.5
@@ -273,6 +305,7 @@ _VERBALIZERS = {
     "sy": _verb_date_slash,
     "th": _verb_time,
     "cur": _verb_money,
+    "qa": _verb_percent_range,
     "pw": _verb_percent,
     "mob": _verb_mobile,
     "ll": _verb_landline,
@@ -295,7 +328,7 @@ class ZhNormalizer:
 
     def normalize(self, text: str) -> str:
         text = text.translate(_FW_TRANS)
-        text = _pre_dates(text)
+        text = _pre_dates(_pre_date_ranges(text))
 
         def repl(m: re.Match) -> str:
             for anchor, fn in _VERBALIZERS.items():

@@ -89,12 +89,105 @@ ZH_GOLDEN = [
     ("１２个", "十二个"),
     # erhua and interjections pass through (remove_* = False in the reference)
     ("这儿有点儿意思啊", "这儿有点儿意思啊"),
+    # ---- rule-family matrix (VERDICT r2 item 7) --------------------------
+    # fractions: nested priorities, leading-zero denominators excluded
+    ("1/2的人", "二分之一的人"),
+    ("比例是15/100", "比例是一百分之十五"),
+    ("7/8英寸", "八分之七英寸"),
+    # hyphen and tilde ranges, incl. decimal endpoints
+    ("3-5个工作日", "三到五个工作日"),
+    ("1.5~2.5倍", "一点五到二点五倍"),
+    ("10-20%", "百分之十到百分之二十"),
+    # date ranges
+    ("3月5日-8日放假", "三月五日到八日放假"),
+    ("5号~8号有雨", "五号到八号有雨"),
+    ("2021年-2023年在任", "二零二一年到二零二三年在任"),
+    # telephone with 幺
+    ("打10086", "打一万零八十六"),
+    ("他的号码是15912345678", "他的号码是幺五九幺二三四五六七八"),
+    ("报警电话110", "报警电话一百一十"),
+    ("区号010-12345678", "区号零幺零幺二三四五六七八"),
+    # measures: compound units, per-units, decimals
+    ("限速60km/h", "限速六十千米每小时"),
+    ("电费0.5kWh", "电费零点五千瓦时"),
+    ("面积120m²", "面积一百二十平方米"),
+    ("容量1.5L", "容量一点五升"),
+    ("时延3ms", "时延三毫秒"),
+    ("频率2.4GHz", "频率二点四吉赫兹"),
+    ("内存512MB", "内存五百一十二兆字节"),
+    ("体重65kg", "体重六十五千克"),
+    ("气温-12°C", "气温负十二摄氏度"),
+    ("角度45°", "角度四十五度"),
+    # the 两-for-2 rule and its boundaries
+    ("2位朋友", "两位朋友"),
+    ("2次机会", "两次机会"),
+    ("22个人", "二十二个人"),
+    ("第2个", "第二个"),  # ordinal context beats the liang rule
+    # money
+    ("€99", "九十九欧元"),
+    ("£3.5", "三点五英镑"),
+    ("￥10000", "一万元"),
+    # percent edge cases
+    ("0.5%", "百分之零点五"),
+    ("100%", "百分之一百"),
+    ("-3%", "负百分之三"),
+    # time edge cases
+    ("23:59", "二十三点五十九分"),
+    ("0:30", "零点三十分"),
+    ("8:00:00", "八点零秒"),
+    # dates edge cases
+    ("2024/2/29", "二零二四年二月二十九日"),
+    ("1998-12-01", "一九九八年十二月一日"),
+    ("2月14号", "二月十四号"),
+    # decimals / negatives
+    ("-0.5度", "负零点五度"),
+    ("增长0.01", "增长零点零一"),
+    # large cardinals
+    ("人口1400000000", "人口十四亿"),
+    ("售价2999", "售价二千九百九十九"),
+    # interjection sentences pass through untouched (remove_interjections
+    # =False at front.py:115-138)
+    ("哎呀真棒啊", "哎呀真棒啊"),
+    ("嗯哼就这样吧", "嗯哼就这样吧"),
 ]
 
 
 @pytest.mark.parametrize("text,expect", ZH_GOLDEN)
 def test_zh_normalizer(text, expect):
     assert ZhNormalizer().normalize(text) == expect
+
+
+# ---------------------------------------------------------------------------
+# zh normalizer properties
+# ---------------------------------------------------------------------------
+
+_ZH_PROPERTY_CORPUS = [t for t, _ in ZH_GOLDEN] + [
+    "连续数字1234567890123456789超长",
+    "混合2024年3月15日14:30开会花¥25.5打车3km用时20min",
+    "0开头0042编号和100,000大数",
+    "小数.5和5.之类的残缺写法",
+    "电话020-88888888分机8001转2",
+    "负温-40°C到-10°C之间",
+    "1~2~3连环范围",
+    "85%的人和15%的人",
+]
+
+
+@pytest.mark.parametrize("text", _ZH_PROPERTY_CORPUS)
+def test_zh_no_ascii_digits_survive(text):
+    """Every ASCII digit must be verbalized — a surviving digit would be
+    spelled out per-character by the tokenizer and wreck WER."""
+    out = ZhNormalizer().normalize(text)
+    assert not any(c.isdigit() for c in out), out
+
+
+@pytest.mark.parametrize("text", _ZH_PROPERTY_CORPUS)
+def test_zh_idempotent(text):
+    """normalize(normalize(x)) == normalize(x) (tn FSTs accept their own
+    output unchanged)."""
+    n = ZhNormalizer()
+    once = n.normalize(text)
+    assert n.normalize(once) == once
 
 
 # ---------------------------------------------------------------------------
@@ -168,9 +261,44 @@ EN_GOLDEN = [
 ]
 
 
-@pytest.mark.parametrize("text,expect", EN_GOLDEN)
+EN_GOLDEN_EDGE = [
+    # currency edges
+    ("$0.99 sale", "ninety nine cents sale"),
+    ("€2.50 fee", "two euros fifty cents fee"),
+    ("£1.01", "one pound one penny"),
+    ("$1,000,000 prize", "one million dollars prize"),
+    ("$7 billion fund", "seven billion dollars fund"),
+    # year edges
+    ("in 2000", "in two thousand"),
+    ("in 1900", "in nineteen hundred"),
+    ("in 1905", "in nineteen o five"),
+    ("in 2010s style", "in twenty tens style"),
+    ("the 1980s", "the nineteen eighties"),
+    # ordinal edges
+    ("the 101st time", "the one hundred first time"),
+    ("his 112th day", "his one hundred twelfth day"),
+    ("20th century", "twentieth century"),
+    ("the 3rd of May", "the third of may"),
+    ("1000th customer", "one thousandth customer"),
+]
+
+
+@pytest.mark.parametrize("text,expect", EN_GOLDEN + EN_GOLDEN_EDGE)
 def test_en_normalizer(text, expect):
     assert EnNormalizer().normalize(text) == expect
+
+
+@pytest.mark.parametrize("text,expect", EN_GOLDEN + EN_GOLDEN_EDGE)
+def test_en_idempotent(text, expect):
+    n = EnNormalizer()
+    assert n.normalize(expect) == expect
+
+
+def test_en_no_digits_survive():
+    n = EnNormalizer()
+    for text, _ in EN_GOLDEN + EN_GOLDEN_EDGE:
+        out = n.normalize(text)
+        assert not any(c.isdigit() for c in out), (text, out)
 
 
 # ---------------------------------------------------------------------------
