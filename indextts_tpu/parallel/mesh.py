@@ -71,14 +71,16 @@ def _spec_for_path(path: str, leaf) -> P:
     def spec(*names):
         return P(*names)
 
-    # stacked gpt layers: (L, in, out) kernels / (L, out) biases
+    # stacked gpt layers: (L, in, out) kernels / (L, out) biases. int8
+    # quantized trees store the kernel as "q" with a per-channel "scale"
+    # shaped like the bias — shard them the same way.
     if ".h." in path or path.startswith("h."):
         if "c_attn" in path or "c_fc" in path:
-            if path.endswith("kernel") and ndim == 3:
+            if path.endswith(("kernel", "q")) and ndim == 3:
                 return spec(None, None, "tp")
-            if path.endswith("bias") and ndim == 2:
+            if path.endswith(("bias", "scale")) and ndim == 2:
                 return spec(None, "tp")
-        if "c_proj" in path and path.endswith("kernel") and ndim == 3:
+        if "c_proj" in path and path.endswith(("kernel", "q")) and ndim == 3:
             return spec(None, "tp", None)
         return spec()
     # DiT layers (scan-stacked: (L, in, out) kernels; unstacked 2D kept for

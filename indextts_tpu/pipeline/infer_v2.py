@@ -255,16 +255,30 @@ class IndexTTS2:
         # compute dtype cast (norm params are cast to fp32 inside the ops),
         # then ONE batched host->device transfer for the whole tree (a
         # per-tensor transfer is an RPC each on remote-attached TPUs).
-        # Under a mesh every tree is replicated so jitted programs can take
-        # dp-sharded batch inputs without resharding params.
+        # Under a mesh trees are replicated by default so jitted programs can
+        # take dp-sharded batch inputs without resharding params. With tp > 1
+        # the GPT and DiT weight matrices are Megatron-sharded over the tp
+        # axis instead (`parallel/mesh.py::gpt_param_shardings`) — GSPMD then
+        # partitions the decode/DiT matmuls and inserts the all-reduces.
+        tp = self.mesh.devices.shape[1] if self.mesh is not None else 1
         if self.mesh is not None:
             from indextts_tpu.parallel.mesh import replicated
 
             placement = replicated(self.mesh)
         else:
             placement = None
+        if tp > 1 and os.environ.get("INDEXTTS_FUSED_DECODE", "1") == "1":
+            # the fused decode kernel is a single-device Pallas program; a
+            # tp-sharded cache/params cannot flow through it
+            os.environ["INDEXTTS_FUSED_DECODE"] = "0"
+            print(">> tp>1 mesh: fused decode kernel disabled (GSPMD path)")
 
-        def put(tree):
+        def put(tree, tp_shard=False):
+            if tp_shard and tp > 1:
+                from indextts_tpu.parallel.mesh import gpt_param_shardings
+
+                return jax.device_put(tree, gpt_param_shardings(self.mesh,
+                                                                tree))
             return jax.device_put(tree, placement) if placement is not None \
                 else jax.device_put(tree)
 
@@ -280,7 +294,8 @@ class IndexTTS2:
                 tree = dict(tree)
                 tree["gpt"] = quantize_gpt2_int8(tree["gpt"])
                 print(">> GPT decoder weights quantized to int8 (weight-only)")
-            setattr(self, name, put(tree))
+            setattr(self, name,
+                    put(tree, tp_shard=name in ("gpt_params", "s2mel_params")))
         self.campplus_params = put(nn.cast_tree(self.campplus_params, jnp.float32))
         if self.mesh is not None:
             self.w2v_mean = put(self.w2v_mean)
@@ -945,6 +960,16 @@ class IndexTTS2:
             wavs, sampling_rate=self.SAMPLING_RATE, interval_silence=interval_silence)
         wav = np.concatenate(wavs, axis=1) if wavs else np.zeros((1, 0), np.float32)
         wav_length = wav.shape[-1] / self.SAMPLING_RATE
+        # programmatic stage profile (meaningful when INDEXTTS_STAGE_SYNC=1:
+        # the timers then end on a device sync instead of dispatch)
+        self.last_stage_times = {
+            "gpt": round(gpt_gen_time + gpt_forward_time, 4),
+            "s2mel": round(s2mel_time, 4),
+            "bigvgan": round(bigvgan_time, 4),
+            "total": round(end_time - start_time, 4),
+            "audio_s": round(wav_length, 4),
+            "stage_sync": self.stage_sync,
+        }
         print(f">> gpt_gen_time: {gpt_gen_time:.2f} seconds")
         print(f">> gpt_forward_time: {gpt_forward_time:.2f} seconds")
         print(f">> s2mel_time: {s2mel_time:.2f} seconds")
