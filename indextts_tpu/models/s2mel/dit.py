@@ -196,6 +196,8 @@ def wavenet_forward(p: Params, w: WaveNetConfig, x: jnp.ndarray,
     (`encodec.py:212-228` ignores the padding arg) — replicated here with
     masked reflect padding around each row's valid region.
     """
+    import os
+
     hc = w.hidden_dim
     output = jnp.zeros_like(x)
     g_all = nn.conv1d(p["cond_layer"], g, padding="VALID")  # (B, 1, 2*hc*L)
@@ -204,14 +206,57 @@ def wavenet_forward(p: Params, w: WaveNetConfig, x: jnp.ndarray,
     if lengths is None:
         lengths = jnp.sum(mask.astype(jnp.int32), axis=1) if mask is not None \
             else jnp.full((x.shape[0],), T, jnp.int32)
+    # WN padding strategy:
+    #   reflect — masked_reflect_pad: a (B, T+pad, C) take_along_axis gather
+    #             per layer per Euler step (the round-2 default)
+    #   edgefix — same values without the gather: static left reflection +
+    #             zero tail + per-row right-edge corrections (only the last
+    #             pad_r output columns of a row see the reflected tail, so
+    #             patch exactly those via tiny matmuls and a (B, pad_r)-row
+    #             scatter-add). Exact for rows with len > pad_l (serving rows
+    #             are hundreds of frames; a len<=2 row is degenerate audio).
+    #   zero    — profiling-only bound (wrong at row edges, same conv cost)
+    pad_mode = os.environ.get("INDEXTTS_WN_PAD", "edgefix")
+    if pad_mode == "edgefix":
+        # beyond-len garbage must be exactly zero for the zero-tail conv
+        x = x * m if m is not None else x
     for i, lp in enumerate(p["layers"]):
         dilation = w.dilation_rate ** i
         eff_k = (w.kernel_size - 1) * dilation + 1
         pad_total = eff_k - 1
         pad_r = pad_total // 2
         pad_l = pad_total - pad_r
-        x_pad = nn.masked_reflect_pad(x, lengths, pad_l, pad_r)
-        x_in = nn.conv1d(lp["in_layer"], x_pad, padding="VALID", dilation=dilation)
+        if pad_mode == "zero":
+            x_pad = jnp.pad(x, ((0, 0), (pad_l, pad_r), (0, 0)))
+            x_in = nn.conv1d(lp["in_layer"], x_pad, padding="VALID",
+                             dilation=dilation)
+        elif pad_mode == "edgefix" and dilation == 1:
+            k = w.kernel_size
+            B = x.shape[0]
+            left = x[:, 1:pad_l + 1][:, ::-1]          # reflect at 0, static
+            x_pad = jnp.concatenate(
+                [left, x, jnp.zeros((B, pad_r) + x.shape[2:], x.dtype)], 1)
+            x_in = nn.conv1d(lp["in_layer"], x_pad, padding="VALID")
+            kern = lp["in_layer"]["kernel"]            # (k, C, 2hc)
+            rows = jnp.arange(B)
+            last = lengths - 1
+            for q in range(pad_r):
+                # output column len-1-q misses the taps whose input index
+                # lands in the zeroed tail; add W_t . x[reflect(idx)]
+                j = jnp.clip(last - q, 0)
+                corr = 0.0
+                for tp in range(pad_l + q + 1, k):
+                    src = jnp.clip(last + q + pad_l - tp, 0)
+                    xv = jnp.take_along_axis(x, src[:, None, None],
+                                             axis=1)[:, 0]        # (B, C)
+                    corr = corr + (xv.astype(jnp.float32)
+                                   @ kern[tp].astype(jnp.float32))
+                corr = jnp.where((last - q >= 0)[:, None], corr, 0.0)
+                x_in = x_in.at[rows, j].add(corr.astype(x_in.dtype))
+        else:
+            x_pad = nn.masked_reflect_pad(x, lengths, pad_l, pad_r)
+            x_in = nn.conv1d(lp["in_layer"], x_pad, padding="VALID",
+                             dilation=dilation)
         g_l = jax.lax.dynamic_slice_in_dim(g_all, i * 2 * hc, 2 * hc, axis=2)
         acts = x_in + g_l
         t_act = jnp.tanh(acts[..., :hc])
