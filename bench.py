@@ -89,20 +89,21 @@ def main():
     print(f"devices: {jax.devices()} quant={quant}", file=sys.stderr)
     tts = IndexTTS2(cfg_path=None, model_dir=d, quantization=quant)
 
-    def run(text):
+    def run(text, num_beams=1, mel_cap=None):
         # deterministic decode: with random weights the sampled code length
         # (and therefore the compile bucket) would otherwise drift between
         # runs, so warmup would not cover the timed runs' programs. Serving
         # steady-state = warm buckets, which this reseed reproduces.
         tts._rng = jax.random.PRNGKey(0)
+        cap = mel_cap or max_mel_tokens
         t0 = time.perf_counter()
         # min_new_tokens pins the decode length: random weights would
         # otherwise emit stop after a handful of codes, which is not the
         # serving workload (real checkpoints decode ~text-proportional).
         sr, data = tts.infer(spk_audio_prompt=prompt, text=text,
-                             output_path=None, max_mel_tokens=max_mel_tokens,
-                             min_new_tokens=max_mel_tokens - 1,
-                             num_beams=1, verbose=False)
+                             output_path=None, max_mel_tokens=cap,
+                             min_new_tokens=cap - 1,
+                             num_beams=num_beams, verbose=False)
         dt = time.perf_counter() - t0
         secs = data.shape[0] / sr
         return dt, secs
@@ -129,8 +130,48 @@ def main():
     print(f"medium-form: {dt:.2f}s wall for {secs:.2f}s audio -> "
           f"RTF {dt / max(secs, 1e-6):.4f}", file=sys.stderr)
     dt, secs = run(text_short)
+    single_rtf = dt / max(secs, 1e-6)
     print(f"single-segment: {dt:.2f}s wall for {secs:.2f}s audio -> "
-          f"RTF {dt / max(secs, 1e-6):.4f}", file=sys.stderr)
+          f"RTF {single_rtf:.4f}", file=sys.stderr)
+
+    # reference DEFAULT serving config: num_beams=3 (infer_v2.py:532).
+    # warm once, then min of 2 (compile bucket differs from beams=1)
+    run(text_short, num_beams=3)
+    beams3_rtf = None
+    for _ in range(2):
+        dt, secs = run(text_short, num_beams=3)
+        r = dt / max(secs, 1e-6)
+        beams3_rtf = r if beams3_rtf is None else min(beams3_rtf, r)
+    print(f"single-segment beams=3: RTF {beams3_rtf:.4f} "
+          f"({beams3_rtf / single_rtf:.2f}x of beams=1)", file=sys.stderr)
+
+    # serving-cap bucket: max_mel_tokens=1500 (reference cap, infer_v2.py:534)
+    serving_cap_rtf = None
+    try:
+        run(text_short, mel_cap=1500)
+        dt, secs = run(text_short, mel_cap=1500)
+        serving_cap_rtf = round(dt / max(secs, 1e-6), 5)
+        print(f"serving-cap (1500 mel tokens): {dt:.2f}s wall for "
+              f"{secs:.2f}s audio -> RTF {serving_cap_rtf:.4f}",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"serving-cap run failed: {e!r}", file=sys.stderr)
+
+    # stage-synced long-form profile (the default timers measure dispatch on
+    # a relay-attached chip; sync=1 ends each stage with a device sync)
+    stages = None
+    try:
+        tts.stage_sync = True
+        run(text_long)
+        dt, secs = run(text_long)
+        st = dict(tts.last_stage_times)
+        stages = {"gpt": st["gpt"], "s2mel": st["s2mel"],
+                  "bigvgan": st["bigvgan"], "total": st["total"],
+                  "audio_s": st["audio_s"]}
+        print(f"stage-synced long-form: {stages} -> RTF "
+              f"{st['total'] / max(st['audio_s'], 1e-6):.4f}", file=sys.stderr)
+    finally:
+        tts.stage_sync = False
 
     # first-audio latency: short first segment via quick_streaming_tokens.
     # First pass compiles the short-decode program; p50 over the post-warmup
@@ -163,6 +204,11 @@ def main():
         "unit": "ratio",
         "vs_baseline": round(target / best, 3),
         "first_audio_p50_ms": first_audio_ms,
+        "single_rtf": round(single_rtf, 5),
+        "beams3_rtf": round(beams3_rtf, 5),
+        "beams3_over_beams1": round(beams3_rtf / single_rtf, 3),
+        "serving_cap_rtf": serving_cap_rtf,
+        "stages": stages,
     }))
 
 
