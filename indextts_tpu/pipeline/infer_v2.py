@@ -303,6 +303,33 @@ class IndexTTS2:
             self.emo_matrix = [put(m) for m in self.emo_matrix]
             self.spk_matrix = [put(m) for m in self.spk_matrix]
 
+    def _capture_synth(self, cond_latents, emovec, text_ids, text_lens,
+                       codes, code_lens, spk, rng, code_bucket, mel_bucket,
+                       prompt_bucket):
+        """Record the synth-program input boundary when `self.capture` is a
+        list (set by eval/tiny_shim.py): everything a reference torch
+        re-render of codes -> mel -> wav needs, including the CFM noise key
+        so both renders integrate the same ODE path."""
+        cap = getattr(self, "capture", None)
+        if cap is None:
+            return
+        cap.append({
+            "cond_latents": np.asarray(cond_latents, np.float32),
+            "emovec": np.asarray(emovec, np.float32),
+            "text_ids": np.asarray(text_ids, np.int32),
+            "text_lens": np.asarray(text_lens, np.int32),
+            "codes": np.asarray(codes, np.int32),
+            "code_lens": np.asarray(code_lens, np.int32),
+            "prompt_cond": np.asarray(spk["prompt_cond"], np.float32),
+            "ref_mel": np.asarray(spk["ref_mel"], np.float32),
+            "ref_len": int(spk["ref_len"]),
+            "style": np.asarray(spk["style"], np.float32),
+            "rng": rng,
+            "code_bucket": int(code_bucket),
+            "mel_bucket": int(mel_bucket),
+            "prompt_bucket": int(prompt_bucket),
+        })
+
     def _load_frontend(self):
         bpe_path = os.path.join(self.model_dir, self.cfg.dataset.get("bpe_model", "bpe.model"))
         self.normalizer = TextNormalizer(enable_glossary=True)
@@ -794,6 +821,11 @@ class IndexTTS2:
                 from indextts_tpu.parallel.mesh import batch_sharding
 
                 codes_all = jax.device_put(codes_all, batch_sharding(self.mesh))
+            rng_synth = self._next_rng()
+            self._capture_synth(
+                cond_latents, emovec, text_mat, seg_tlens_b, codes_all,
+                clens_all, spk, rng_synth, cb_all, mel_bucket_all,
+                prompt_bucket)
             vc_all, _ = self._jit_synth(
                 self.gpt_params, self.s2mel_params, self.codec_params,
                 cond_latents, emovec,
@@ -801,7 +833,7 @@ class IndexTTS2:
                 codes_all, jnp.asarray(clens_all),
                 spk["prompt_cond"], jnp.asarray([spk["ref_len"]]),
                 spk["ref_mel"], jnp.asarray([spk["ref_len"]]), spk["style"],
-                self._next_rng(), code_bucket=cb_all,
+                rng_synth, code_bucket=cb_all,
                 mel_bucket=mel_bucket_all, prompt_bucket=prompt_bucket)
             if self.stage_sync:
                 np.asarray(vc_all[0, 0, 0])
@@ -916,6 +948,10 @@ class IndexTTS2:
 
             # [S] synthesis to mel
             m_start = time.perf_counter()
+            rng_synth = self._next_rng()
+            self._capture_synth(
+                cond_latents, emovec, text_ids, [tlen], codes_b, [clen], spk,
+                rng_synth, cb, mel_bucket, prompt_bucket)
             vc_tgt, target_len = self._jit_synth(
                 self.gpt_params, self.s2mel_params, self.codec_params,
                 cond_latents, emovec,
@@ -923,7 +959,7 @@ class IndexTTS2:
                 codes_b, jnp.asarray([clen]),
                 spk["prompt_cond"], jnp.asarray([spk["ref_len"]]),
                 spk["ref_mel"], jnp.asarray([spk["ref_len"]]), spk["style"],
-                self._next_rng(), code_bucket=cb, mel_bucket=mel_bucket,
+                rng_synth, code_bucket=cb, mel_bucket=mel_bucket,
                 prompt_bucket=prompt_bucket)
             if self.stage_sync:
                 # a host readback is the only true sync on relay-attached
