@@ -103,9 +103,12 @@ def generate_beam(params: Params, cfg: GPTConfig, dims: GPT2Dims,
     # cache gather (the HF reorder, ~2x the whole step at full scale)
     # disappears; only the (B*K, S) int32 map is gathered.
     # INDEXTTS_BEAM_ANC=0 restores the gather path (A/B + fallback).
-    use_anc = (fused and K > 1 and B * K <= 12
-               and os.environ.get("INDEXTTS_BEAM_ANC", "1") != "0")
     S = _cache_len(P, max_new_tokens, fused)
+    # gates: the anc map lives fully in VMEM inside the kernel (lane-padded
+    # to S*B*K*256 bytes) — bound it to 2 MB; larger configs keep the gather
+    use_anc = (fused and K > 1 and B * K <= 12
+               and S * B * K * 256 <= 2 * 1024 * 1024
+               and os.environ.get("INDEXTTS_BEAM_ANC", "1") != "0")
     stop = cfg.stop_mel_token
     lp = sampling.length_penalty
     L = max_new_tokens

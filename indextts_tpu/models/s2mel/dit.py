@@ -69,16 +69,24 @@ def _ada_ln_init(rng: InitRng, dim: int) -> Params:
 def _ada_ln(p: Params, x: jnp.ndarray, c: Optional[jnp.ndarray], eps: float) -> jnp.ndarray:
     """AdaptiveLayerNorm (reference gpt_fast `model.py:20-38`). c: (B, 1, D).
 
-    The modulation is computed in fp32 (c is the fp32 timestep embedding)
-    and the result cast back to the stream dtype — without the cast, fp32
-    silently promotes the whole backbone on the bf16 serving path (and
-    breaks the stacked-layer scan's carry typing)."""
+    The modulation projection runs in fp32 (c is the fp32 timestep
+    embedding, and it is a tiny (B, 1, D) matmul), but the big (B, T, D)
+    scale-shift applies in the stream dtype: w/b vary only over (B, 1, D),
+    so rounding them to bf16 once costs ~1 ulp on the modulated stream while
+    halving the elementwise traffic (INDEXTTS_ADALN_F32=1 restores the f32
+    elementwise for A/B). The result stays in x.dtype either way — fp32
+    would silently promote the whole backbone and break the scan carry."""
+    import os
+
     normed = nn.rms_norm(p["norm"], x, eps)
     if c is None:
         return normed
-    wb = nn.dense(p["project"], c)
+    wb = nn.dense(p["project"], c.astype(jnp.float32))
     w, b = jnp.split(wb, 2, axis=-1)
-    return (w * normed.astype(w.dtype) + b).astype(x.dtype)
+    if os.environ.get("INDEXTTS_ADALN_F32", "0") == "1":
+        return (w * normed.astype(w.dtype) + b).astype(x.dtype)
+    return (w.astype(x.dtype) * normed.astype(x.dtype)
+            + b.astype(x.dtype)).astype(x.dtype)
 
 
 def stack_layer_list(layers):

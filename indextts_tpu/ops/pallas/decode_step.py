@@ -75,15 +75,12 @@ def _kernel(pos_ref, x_ref, ln1w_ref, ln1b_ref, ln2w_ref, ln2b_ref,
             wqkv_ref, wproj_ref, wfc_ref, wp2_ref, ck_ref, cv_ref,
             *rest, L: int, B: int, D: int, F: int, H: int, S: int,
             K: int = 1, BS: int = _BS):
-    # rest = [anc_ref (K>1 only)], outputs x3, scratch x6, sems x4,
-    #        [abuf, asem (K>1 only)]
+    # rest = [anc_ref (K>1 only)], outputs x3, scratch x6, sems x4
     if K > 1:
         anc_ref = rest[0]
         rest = rest[1:]
     (xo_ref, kn_ref, vn_ref, xc_ref, qkv_ref, wbuf, pbuf, kbuf, vbuf,
      wsem, psem, ksem, vsem) = rest[:13]
-    if K > 1:
-        abuf, asem = rest[13:15]
     l = pl.program_id(0)
     Dh = D // H
     nq, npj, nf = _nwb(D, F)
@@ -134,14 +131,6 @@ def _kernel(pos_ref, x_ref, ln1w_ref, ln1b_ref, ln2w_ref, ln2b_ref,
         # block i holds slots [i*BS, (i+1)*BS); slots <= pos are live
         return i * BS <= pos
 
-    def anc_start(i, slot):
-        """Beam-ancestry block i -> abuf[slot] (K > 1 only). The map is
-        layer-invariant, but re-DMA per use keeps the slot protocol identical
-        to k/v (3 KB per copy — noise next to the 1.3 MB kv blocks)."""
-        if K > 1:
-            pltpu.make_async_copy(anc_ref.at[pl.ds(i, 1)], abuf.at[slot],
-                                  asem.at[slot]).start()
-
     def kv_start(li, i, slot):
         @pl.when(kv_used(i))
         def _():
@@ -149,7 +138,6 @@ def _kernel(pos_ref, x_ref, ln1w_ref, ln1b_ref, ln2w_ref, ln2b_ref,
                                   kbuf.at[slot], ksem.at[slot]).start()
             pltpu.make_async_copy(cv_ref.at[li, :, pl.ds(pl.multiple_of(i * BS, 8), BS), :],
                                   vbuf.at[slot], vsem.at[slot]).start()
-            anc_start(i, slot)
 
     # attention only iterates the LIVE blocks (slots <= pos), rounded up to
     # an even count so the two DMA slots keep their parity across layers
@@ -173,7 +161,6 @@ def _kernel(pos_ref, x_ref, ln1w_ref, ln1b_ref, ln2w_ref, ln2b_ref,
             pltpu.make_async_copy(
                 cv_ref.at[nxt_l, :, pl.ds(off, BS), :],
                 vbuf.at[slot], vsem.at[slot]).start()
-            anc_start(nxt_i, slot)
 
     # ---- prime the pipelines (first grid step only) -----------------------
     @pl.when(l == 0)
@@ -261,9 +248,6 @@ def _kernel(pos_ref, x_ref, ln1w_ref, ln1b_ref, ln2w_ref, ln2b_ref,
         def _():
             kc.wait()
             vc.wait()
-            if K > 1:
-                pltpu.make_async_copy(anc_ref.at[pl.ds(i, 1)], abuf.at[slot],
-                                      asem.at[slot]).wait()
 
         if K == 1:
             kb2 = kbuf[slot].reshape(B * BS, D)          # bf16
@@ -284,11 +268,16 @@ def _kernel(pos_ref, x_ref, ln1w_ref, ln1b_ref, ln2w_ref, ln2b_ref,
                 return jnp.concatenate(
                     [buf[(r // K) * K + j] for r in range(B)], 0)
 
-            av = abuf[slot][0]                            # (B*BS, 1) bf16
+            # anc is fully VMEM-resident ((ns, B*BS, 1)); a dynamic
+            # leading-dim read lowers (same mechanism as kbuf[slot]) where a
+            # per-block DMA from the compiler-placed input did not. The
+            # compare runs in f32 — Mosaic rejects bf16 equality on this
+            # target ("Target does not support this comparison").
+            av = anc_ref[i].astype(jnp.float32)           # (B*BS, 1)
             kb2 = perm(kb3, K - 1)
             vb2 = perm(vb3, K - 1)
             for j in range(K - 2, -1, -1):
-                mj = av == jnp.bfloat16(j)
+                mj = av == jnp.float32(j)
                 kb2 = jnp.where(mj, perm(kb3, j), kb2)
                 vb2 = jnp.where(mj, perm(vb3, j), vb2)
         # validity is the contiguous range [start_b, pos): decode masks are
@@ -469,10 +458,9 @@ def fused_decode_step(params: Dict, x: jnp.ndarray, dims: GPT2Dims,
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     full = lambda shape: pl.BlockSpec(shape, lambda l, *_: (0,) * len(shape),
                                       memory_space=pltpu.VMEM)
-    anc_specs = [any_spec] if group > 1 else []
+    anc_specs = [full((S // bs, B * bs, 1))] if group > 1 else []
     anc_args = [anc.astype(jnp.bfloat16)] if group > 1 else []
-    anc_scratch = [pltpu.VMEM((2, 1, B * bs, 1), jnp.bfloat16),
-                   pltpu.SemaphoreType.DMA((2,))] if group > 1 else []
+    anc_scratch = []
     x_out, k_new, v_new = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(

@@ -67,19 +67,26 @@ def main():
         return best
 
     results = {}
-    for wn_pad, flash in (("reflect", "1"), ("zero", "1"), ("reflect", "0")):
+    for wn_pad, flash, ada in (("edgefix", "1", "0"), ("reflect", "1", "0"),
+                               ("zero", "1", "0"), ("edgefix", "0", "0"),
+                               ("edgefix", "1", "1")):
         os.environ["INDEXTTS_WN_PAD"] = wn_pad
         os.environ["INDEXTTS_FLASH_DIT"] = flash
+        os.environ["INDEXTTS_ADALN_F32"] = ada
         fn.clear_cache()
-        results[(wn_pad, flash)] = timed(f"pad={wn_pad} flash={flash}")
+        results[(wn_pad, flash, ada)] = timed(
+            f"pad={wn_pad} flash={flash} adaln_f32={ada}")
 
-    base = results[("reflect", "1")]
-    print(f"\nreflect-pad gather cost: "
-          f"{(base - results[('zero', '1')]) * 1e3:.1f} ms "
-          f"({(base - results[('zero', '1')]) / base * 100:.1f}%)")
+    base = results[("edgefix", "1", "0")]
+    print(f"\nedgefix vs reflect-gather: "
+          f"{(results[('reflect', '1', '0')] - base) * 1e3:.1f} ms saved")
+    print(f"edgefix vs zero bound: "
+          f"{(base - results[('zero', '1', '0')]) * 1e3:.1f} ms residual")
     print(f"flash-vs-dense delta: "
-          f"{(results[('reflect', '0')] - base) * 1e3:.1f} ms "
+          f"{(results[('edgefix', '0', '0')] - base) * 1e3:.1f} ms "
           f"(positive = flash wins)")
+    print(f"adaLN f32 elementwise cost: "
+          f"{(results[('edgefix', '1', '1')] - base) * 1e3:.1f} ms")
 
 
 if __name__ == "__main__":
