@@ -138,7 +138,11 @@ def dit_backbone_forward(p: Params, cfg: DiTConfig, x: jnp.ndarray,
 
     B, T, D = x.shape
     H, Dh = cfg.num_heads, cfg.head_dim
+    # T cap: the single-block kernel holds the (T, T) f32 scores in VMEM
+    # (T=2560 needs 25.7 MB vs the 16 MB scope — measured OOM at the
+    # 1500-mel-token serving cap); beyond it, dense masked softmax
     use_flash = (not cfg.is_causal and lengths is not None and T % 128 == 0
+                 and T <= 1536
                  and jax.default_backend() in ("tpu", "axon")
                  and os.environ.get("INDEXTTS_FLASH_DIT", "1") != "0")
     attn_mask = None
