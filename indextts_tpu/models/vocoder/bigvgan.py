@@ -71,6 +71,27 @@ def _mask(x: jnp.ndarray, lengths: Optional[jnp.ndarray]) -> jnp.ndarray:
     return jnp.where(nn.sequence_mask(lengths, x.shape[1])[:, :, None], x, 0.0)
 
 
+def _res_conv(p: Params, x: jnp.ndarray, ks: int, d: int) -> jnp.ndarray:
+    """Resblock conv; narrow-channel shapes route through the time-folded
+    formulation (`ops/fold_conv.py`) on TPU — C in {24..192} wastes most
+    MXU lanes as a plain NWC conv (measured 3-6 TF/s; folded wins 1.2-1.4x
+    wall despite running 2-7x the FLOPs). INDEXTTS_FOLDED_CONV=0 opts out;
+    =force enables off-TPU (CPU equivalence tests)."""
+    import os
+
+    flag = os.environ.get("INDEXTTS_FOLDED_CONV", "1")
+    B, T, C = x.shape
+    if flag != "0" and (flag == "force"
+                       or jax.default_backend() in ("tpu", "axon")):
+        from indextts_tpu.ops.fold_conv import fold_conv1d, fold_factor
+
+        f = fold_factor(C, T)
+        if f > 1:
+            return fold_conv1d(p, x, f, dilation=d,
+                               padding=_get_padding(ks, d))
+    return nn.conv1d(p, x, padding=_get_padding(ks, d), dilation=d)
+
+
 def _amp_block(bp: Params, h: BigVGANConfig, x: jnp.ndarray, ks: int,
                dils, lengths: Optional[jnp.ndarray]) -> jnp.ndarray:
     """AMPBlock1 (reference `bigvgan.py:31-148`)."""
@@ -80,12 +101,12 @@ def _amp_block(bp: Params, h: BigVGANConfig, x: jnp.ndarray, ks: int,
         xt = antialias_activation(x, a1["alpha"], a1.get("beta"), lengths,
                                   h.snake_logscale)
         xt = _mask(xt, lengths)
-        xt = nn.conv1d(bp["convs1"][j], xt, padding=_get_padding(ks, d), dilation=d)
+        xt = _res_conv(bp["convs1"][j], xt, ks, d)
         xt = _mask(xt, lengths)
         xt = antialias_activation(xt, a2["alpha"], a2.get("beta"), lengths,
                                   h.snake_logscale)
         xt = _mask(xt, lengths)
-        xt = nn.conv1d(bp["convs2"][j], xt, padding=_get_padding(ks, 1))
+        xt = _res_conv(bp["convs2"][j], xt, ks, 1)
         x = x + xt
         x = _mask(x, lengths)
     return x

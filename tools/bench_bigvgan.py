@@ -58,19 +58,28 @@ def main():
         print(f"{label}: best {best * 1e3:.1f} ms", flush=True)
         return best
 
+    import os
+
     ident_act = lambda x, a, b, lengths=None, logscale=True: x
     ident_mask = lambda x, lengths: x
     try:
-        full = run_variant("full", orig_act, orig_mask)
+        os.environ["INDEXTTS_FOLDED_CONV"] = "0"
+        full0 = run_variant("full (plain convs)", orig_act, orig_mask)
+        os.environ["INDEXTTS_FOLDED_CONV"] = "1"
+        full1 = run_variant("full (folded convs)", orig_act, orig_mask)
+        os.environ["INDEXTTS_FOLDED_CONV"] = "0"
         noact = run_variant("noact (convs+masks only)", ident_act, orig_mask)
         nomask = run_variant("nomask (convs+acts only)", orig_act, ident_mask)
         neither = run_variant("neither (convs only)", ident_act, ident_mask)
     finally:
         snake.antialias_activation = orig_act
         bv._mask = orig_mask
+        os.environ.pop("INDEXTTS_FOLDED_CONV", None)
 
-    print(f"\nact share  ~{(full - noact) * 1e3:.1f} ms")
-    print(f"mask share ~{(full - nomask) * 1e3:.1f} ms")
+    print(f"\nfolded-conv speedup: {full0 / full1:.2f}x "
+          f"({(full0 - full1) * 1e3:.1f} ms)")
+    print(f"act share  ~{(full0 - noact) * 1e3:.1f} ms")
+    print(f"mask share ~{(full0 - nomask) * 1e3:.1f} ms")
     print(f"conv floor ~{neither * 1e3:.1f} ms")
 
 
