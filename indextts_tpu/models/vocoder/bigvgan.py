@@ -72,17 +72,20 @@ def _mask(x: jnp.ndarray, lengths: Optional[jnp.ndarray]) -> jnp.ndarray:
 
 
 def _res_conv(p: Params, x: jnp.ndarray, ks: int, d: int) -> jnp.ndarray:
-    """Resblock conv; narrow-channel shapes route through the time-folded
-    formulation (`ops/fold_conv.py`) on TPU — C in {24..192} wastes most
-    MXU lanes as a plain NWC conv (measured 3-6 TF/s; folded wins 1.2-1.4x
-    wall despite running 2-7x the FLOPs). INDEXTTS_FOLDED_CONV=0 opts out;
-    =force enables off-TPU (CPU equivalence tests)."""
+    """Resblock conv. The time-folded formulation (`ops/fold_conv.py`) is
+    kept as an OPT-IN (INDEXTTS_FOLDED_CONV=1; =force off-TPU) and is OFF by
+    default — an honest negative: standalone micro-benchmarks showed 1.2-1.4x
+    per-conv wins for lane-folding the narrow stages, but whole-vocoder
+    in-process A/Bs measured 576 ms plain vs 806 ms folded (d=1 only) vs
+    1033 ms (all convs): in model context XLA fuses masks/residuals into the
+    plain convs, while the fold's pad+einsum chain breaks those fusions and
+    the dilated folds run 5-7x the FLOPs."""
     import os
 
-    flag = os.environ.get("INDEXTTS_FOLDED_CONV", "1")
+    flag = os.environ.get("INDEXTTS_FOLDED_CONV", "0")
     B, T, C = x.shape
-    if flag != "0" and (flag == "force"
-                       or jax.default_backend() in ("tpu", "axon")):
+    if d == 1 and flag != "0" and (flag == "force"
+                                   or jax.default_backend() in ("tpu", "axon")):
         from indextts_tpu.ops.fold_conv import fold_conv1d, fold_factor
 
         f = fold_factor(C, T)
