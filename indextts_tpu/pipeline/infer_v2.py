@@ -790,13 +790,36 @@ class IndexTTS2:
                 pe = jax.device_put(pe, batch_sharding(self.mesh))
                 pm = jax.device_put(pm, batch_sharding(self.mesh))
             # beams > 1 -> batched (B, K) beam search; otherwise the
-            # adaptive-cache sampling loop
-            batch_decode_fn = (generate_beam if sampling.num_beams > 1
-                               else generate_adaptive)
-            batch_codes, batch_code_lens = batch_decode_fn(
-                self.gpt_params, self.cfg.gpt, self.gpt_dims, pe, pm,
-                self._next_rng(), max_new_tokens=max_mel_tokens,
-                sampling=sampling, dtype=self.dtype)
+            # adaptive-cache sampling loop. Beam batches whose B*K exceeds
+            # the fused kernel's ancestry cap decode in row chunks so every
+            # chunk keeps the in-kernel ancestry path (B*K<=12) instead of
+            # the whole batch falling back to the per-step cache gather;
+            # rows are independent and per-row keys make chunking
+            # token-identical (tests/test_beam.py batched==sequential).
+            if sampling.num_beams > 1:
+                K = sampling.num_beams
+                B_rows = pe.shape[0]
+                chunk = (int(os.environ.get("INDEXTTS_BEAM_CHUNK", "0"))
+                         or max(1, 12 // K))
+                if B_rows > chunk and self.mesh is None:
+                    keys = jax.random.split(self._next_rng(), B_rows)
+                    parts = [generate_beam(
+                        self.gpt_params, self.cfg.gpt, self.gpt_dims,
+                        pe[i:i + chunk], pm[i:i + chunk], keys[i:i + chunk],
+                        max_new_tokens=max_mel_tokens, sampling=sampling,
+                        dtype=self.dtype) for i in range(0, B_rows, chunk)]
+                    batch_codes = jnp.concatenate([p[0] for p in parts], 0)
+                    batch_code_lens = jnp.concatenate([p[1] for p in parts], 0)
+                else:
+                    batch_codes, batch_code_lens = generate_beam(
+                        self.gpt_params, self.cfg.gpt, self.gpt_dims, pe, pm,
+                        self._next_rng(), max_new_tokens=max_mel_tokens,
+                        sampling=sampling, dtype=self.dtype)
+            else:
+                batch_codes, batch_code_lens = generate_adaptive(
+                    self.gpt_params, self.cfg.gpt, self.gpt_dims, pe, pm,
+                    self._next_rng(), max_new_tokens=max_mel_tokens,
+                    sampling=sampling, dtype=self.dtype)
             batch_code_lens = np.asarray(batch_code_lens)
             gpt_gen_time += time.perf_counter() - m_start
 

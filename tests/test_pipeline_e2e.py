@@ -173,3 +173,23 @@ def test_e2e_batched_segments(tts, model_dir):
     assert sr_b == sr_s
     # greedy codes identical row-wise -> identical segment lengths
     assert wav_b.shape == wav_s.shape
+
+
+def test_beam_chunked_matches_unchunked(tts, model_dir, monkeypatch):
+    """Multi-segment beam decode in row chunks (the B*K>12 kernel-cap path)
+    is sample-identical to the single batched call: rows are independent and
+    both derive the same per-row keys from one split."""
+    kw = dict(spk_audio_prompt=os.path.join(model_dir, "prompt.wav"),
+              text="hello world . the cat . hello . world cat .",
+              output_path=None, max_mel_tokens=8, num_beams=2,
+              do_sample=False, max_text_tokens_per_segment=4, verbose=False)
+    import jax
+
+    monkeypatch.setenv("INDEXTTS_BEAM_CHUNK", "99")
+    tts._rng = jax.random.PRNGKey(7)
+    sr_a, wav_a = tts.infer(**kw)
+    monkeypatch.setenv("INDEXTTS_BEAM_CHUNK", "2")
+    tts._rng = jax.random.PRNGKey(7)
+    sr_b, wav_b = tts.infer(**kw)
+    assert sr_a == sr_b
+    np.testing.assert_array_equal(wav_a, wav_b)

@@ -56,7 +56,9 @@ def main():
         valid0 = jnp.broadcast_to(valid0, (B, S))
 
         @jax.jit
-        def scan_steps(x0, cache, valid0):
+        def scan_steps(params, x0, cache, valid0):
+            # params as an ARGUMENT: a closure would inline ~500 MB of int8
+            # weights as constants into the compile payload (relay 413)
             def body(carry, i):
                 x, kv, valid = carry
                 pos = pos0 + i
@@ -72,14 +74,14 @@ def main():
 
         label = f"B={B} {'fused' if fused else 'xla'}"
         t0 = time.perf_counter()
-        out = scan_steps(x0, cache, valid0)
+        out = scan_steps(params, x0, cache, valid0)
         np.asarray(out[:1, :1])
         print(f"{label}: first (compile+run) {time.perf_counter() - t0:.1f}s",
               flush=True)
         best = None
         for _ in range(3):
             t0 = time.perf_counter()
-            out = scan_steps(x0, cache, valid0)
+            out = scan_steps(params, x0, cache, valid0)
             np.asarray(out[:1, :1])
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
