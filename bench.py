@@ -127,8 +127,9 @@ def main():
               f"audio -> RTF {rtf:.4f}", file=sys.stderr)
         best = rtf if best is None else min(best, rtf)
     dt, secs = run(text_med)
+    medium_rtf = dt / max(secs, 1e-6)
     print(f"medium-form: {dt:.2f}s wall for {secs:.2f}s audio -> "
-          f"RTF {dt / max(secs, 1e-6):.4f}", file=sys.stderr)
+          f"RTF {medium_rtf:.4f}", file=sys.stderr)
     dt, secs = run(text_short)
     single_rtf = dt / max(secs, 1e-6)
     print(f"single-segment: {dt:.2f}s wall for {secs:.2f}s audio -> "
@@ -205,6 +206,7 @@ def main():
         "vs_baseline": round(target / best, 3),
         "first_audio_p50_ms": first_audio_ms,
         "single_rtf": round(single_rtf, 5),
+        "medium_rtf": round(medium_rtf, 5),
         "beams3_rtf": round(beams3_rtf, 5),
         "beams3_over_beams1": round(beams3_rtf / single_rtf, 3),
         "serving_cap_rtf": serving_cap_rtf,
