@@ -166,9 +166,46 @@ def main():
         def g(p, x, _attn=attn):
             def one(xc, i):
                 t = jnp.full((B,), 0.5)
-                x_in, t1 = merge_in(p, xc, t)
-                x_res = backbone(p, x_in, t1, _attn)
-                return xc + 0.04 * x_res[..., :cfg.in_channels], None
+                t1 = D.timestep_embed(p["t_embedder"], t)
+                cond_p = nn.dense(p["cond_projection"], cond)
+                x_in = jnp.concatenate([xc, prompt, cond_p], axis=-1)
+                x_in = jnp.concatenate(
+                    [x_in, jnp.broadcast_to(style[:, None, :],
+                                            (B, T, style.shape[-1])
+                                            ).astype(xc.dtype)], axis=-1)
+                x_in = nn.dense(p["cond_x_merge_linear"], x_in)
+                c = t1[:, None, :]
+                mask = nn.sequence_mask(lens, T)
+
+                def body(hc, lp):
+                    h = D._ada_ln(lp["attention_norm"], hc, c, cfg.norm_eps)
+                    qkv = nn.dense(lp["attn"]["wqkv"], h)
+                    q, k, v = jnp.split(qkv, 3, axis=-1)
+                    q = apply_rotary_emb_half(q.reshape(B, T, H, Dh), freqs)
+                    k = apply_rotary_emb_half(k.reshape(B, T, H, Dh), freqs)
+                    v = v.reshape(B, T, H, Dh)
+                    if _attn == "flash":
+                        out = nn.mha_flash(q.transpose(0, 2, 1, 3),
+                                           k.transpose(0, 2, 1, 3),
+                                           v.transpose(0, 2, 1, 3), lens
+                                           ).transpose(0, 2, 1, 3)
+                    else:
+                        am = mask[:, None, None, :].astype(bool)
+                        out = nn.mha(q.transpose(0, 2, 1, 3),
+                                     k.transpose(0, 2, 1, 3),
+                                     v.transpose(0, 2, 1, 3), mask=am
+                                     ).transpose(0, 2, 1, 3)
+                    out = out.reshape(B, T, H * Dh)
+                    hc = hc + nn.dense(lp["attn"]["wo"], out)
+                    h = D._ada_ln(lp["ffn_norm"], hc, c, cfg.norm_eps)
+                    h = nn.dense(lp["ff"]["w2"],
+                                 jax.nn.silu(nn.dense(lp["ff"]["w1"], h))
+                                 * nn.dense(lp["ff"]["w3"], h))
+                    return hc + h, None
+
+                xb, _ = lax.scan(body, x_in, p["transformer"]["layers"])
+                xb = D._ada_ln(p["transformer"]["norm"], xb, c, cfg.norm_eps)
+                return xc + 0.04 * xb[..., :cfg.in_channels], None
             x, _ = lax.scan(one, x, jnp.arange(STEPS))
             return x[:1, :1, :1]
         jf = jax.jit(g)
