@@ -123,27 +123,42 @@ def init_dit_backbone(rng: InitRng, cfg: DiTConfig) -> Params:
 def dit_backbone_forward(p: Params, cfg: DiTConfig, x: jnp.ndarray,
                          c: jnp.ndarray, freqs_cis: jnp.ndarray,
                          mask: Optional[jnp.ndarray],
-                         lengths: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                         lengths: Optional[jnp.ndarray] = None,
+                         seq_sharding=None) -> jnp.ndarray:
     """x: (B, T, D), c: (B, 1, D) time conditioning, mask: (B, T) keep-mask.
 
-    Attention: full-T-block flash (nn.mha_flash) on TPU when lengths are
-    available and T is lane-aligned — it skips the (B, H, T, T) score
-    materialization and measured 3.3 ms vs 4.5 ms dense at (16, 8, 1152, 64)
-    on v5e (the default tiled flash was SLOWER than dense; the win only
-    appears with block_q == block_k == T). Dense masked softmax otherwise.
-    Pad query rows attend only the pad segment under flash; every consumer
+    seq_sharding (a NamedSharding over (batch, time, feature), time on the
+    mesh's sp axis) turns on sequence-parallel execution: the residual
+    stream is constrained to that sharding every layer and the DENSE
+    attention form is used — GSPMD partitions the score matmul spatially
+    and inserts the k all-gather itself, whereas a Pallas custom call would
+    force a full gather + replicated compute.
+
+    Attention, fastest-first on TPU (all length-masked, non-causal only):
+    1. packed_pair_attention — natural (B, T, H*Dh) layout, heads in pairs
+       on 128-lane slices, full-tile matmuls; 0.71 ms/layer device-measured
+       at (16, 8, 1152, 64) vs 1.02 for the per-(b,h) kernel, AND it drops
+       the 4 per-layer head transposes. Needs H even, 2*Dh == 128.
+    2. single_block flash (nn.mha_flash) — per-(b,h) grid, measured 3.3 ms
+       vs 4.5 ms dense per step (jax's tiled flash was SLOWER than dense;
+       the win only appears with block_q == block_k == T).
+    3. Dense masked softmax otherwise.
+    Pad query rows attend only the pad segment under 1/2; every consumer
     masks by length downstream, so their garbage never escapes.
     """
     import os
 
     B, T, D = x.shape
     H, Dh = cfg.num_heads, cfg.head_dim
-    # T cap: the single-block kernel holds the (T, T) f32 scores in VMEM
+    # T cap: both kernels hold the (T, T)-scale f32 scores in VMEM
     # (T=2560 needs 25.7 MB vs the 16 MB scope — measured OOM at the
     # 1500-mel-token serving cap); beyond it, dense masked softmax
-    use_flash = (not cfg.is_causal and lengths is not None and T % 128 == 0
-                 and T <= 1536
-                 and jax.default_backend() in ("tpu", "axon")
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    kernel_ok = (not cfg.is_causal and lengths is not None and T % 128 == 0
+                 and T <= 1536 and on_tpu and seq_sharding is None)
+    use_packed = (kernel_ok and H % 2 == 0 and 2 * Dh == 128
+                  and os.environ.get("INDEXTTS_PACKED_ATTN", "1") != "0")
+    use_flash = (kernel_ok
                  and os.environ.get("INDEXTTS_FLASH_DIT", "1") != "0")
     attn_mask = None
     if mask is not None and not cfg.is_causal:
@@ -152,6 +167,8 @@ def dit_backbone_forward(p: Params, cfg: DiTConfig, x: jnp.ndarray,
         attn_mask = jnp.tril(jnp.ones((T, T), bool))[None, None]
 
     def body(xc, lp):
+        if seq_sharding is not None:
+            xc = jax.lax.with_sharding_constraint(xc, seq_sharding)
         h = _ada_ln(lp["attention_norm"], xc, c, cfg.norm_eps)
         qkv = nn.dense(lp["attn"]["wqkv"], h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -160,14 +177,21 @@ def dit_backbone_forward(p: Params, cfg: DiTConfig, x: jnp.ndarray,
         q = apply_rotary_emb_half(q.reshape(B, T, H, Dh), freqs_cis)
         k = apply_rotary_emb_half(k.reshape(B, T, H, Dh), freqs_cis)
         v = v.reshape(B, T, H, Dh)
-        if use_flash:
+        if use_packed:
+            from indextts_tpu.ops.pallas.attn import packed_pair_attention
+            out = packed_pair_attention(q.reshape(B, T, H * Dh),
+                                        k.reshape(B, T, H * Dh),
+                                        v.reshape(B, T, H * Dh),
+                                        lengths, heads=H)
+        elif use_flash:
             out = nn.mha_flash(q.transpose(0, 2, 1, 3),
                                k.transpose(0, 2, 1, 3),
                                v.transpose(0, 2, 1, 3), lengths)
+            out = out.transpose(0, 2, 1, 3).reshape(B, T, H * Dh)
         else:
             out = nn.mha(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
                          v.transpose(0, 2, 1, 3), mask=attn_mask)
-        out = out.transpose(0, 2, 1, 3).reshape(B, T, H * Dh)
+            out = out.transpose(0, 2, 1, 3).reshape(B, T, H * Dh)
         xc = xc + nn.dense(lp["attn"]["wo"], out)
         h = _ada_ln(lp["ffn_norm"], xc, c, cfg.norm_eps)
         h = nn.dense(lp["ff"]["w2"],
@@ -321,7 +345,7 @@ def init_dit(rng: InitRng, s2: S2MelConfig) -> Params:
 def dit_forward(p: Params, s2: S2MelConfig, x: jnp.ndarray, prompt_x: jnp.ndarray,
                 x_lens: jnp.ndarray, t: jnp.ndarray, style: jnp.ndarray,
                 cond: jnp.ndarray, freqs_cis: Optional[jnp.ndarray] = None,
-                mask_content: bool = False) -> jnp.ndarray:
+                mask_content: bool = False, seq_sharding=None) -> jnp.ndarray:
     """Velocity estimate.
 
     x, prompt_x: (B, T, 80) — NOTE (B, T, C) layout, transposed vs reference.
@@ -349,7 +373,8 @@ def dit_forward(p: Params, s2: S2MelConfig, x: jnp.ndarray, prompt_x: jnp.ndarra
         freqs_cis = freqs_cis[:T]
     mask = nn.sequence_mask(x_lens, T)
     x_res = dit_backbone_forward(p["transformer"], cfg, x_in, t1[:, None, :],
-                                 freqs_cis, mask, lengths=x_lens)
+                                 freqs_cis, mask, lengths=x_lens,
+                                 seq_sharding=seq_sharding)
     x_res = nn.dense(p["skip_linear"], jnp.concatenate([x_res, x], axis=-1))
 
     if cfg.final_layer_type == "wavenet":

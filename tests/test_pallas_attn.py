@@ -35,3 +35,84 @@ def test_single_block_attention_bf16(rng):
     for b, L in enumerate(np.asarray(lens)):
         np.testing.assert_allclose(got[b, :, :L], ref[b, :, :L], atol=3e-2,
                                    rtol=3e-2)
+
+
+def test_packed_pair_attention_matches_single_block(rng):
+    from indextts_tpu.ops.pallas.attn import packed_pair_attention
+
+    B, H, T, D = 2, 4, 256, 64
+    q = jnp.asarray(rng.standard_normal((B, T, H * D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, T, H * D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, T, H * D)), jnp.float32)
+    lens = jnp.asarray([256, 100], jnp.int32)
+
+    def to_bhtd(x):
+        return x.reshape(B, T, H, D).transpose(0, 2, 1, 3)
+
+    ref = np.asarray(single_block_attention(
+        to_bhtd(q), to_bhtd(k), to_bhtd(v), lens, interpret=True))
+    got = np.asarray(packed_pair_attention(q, k, v, lens, heads=H,
+                                           interpret=True))
+    got = got.reshape(B, T, H, D).transpose(0, 2, 1, 3)
+    for b, L in enumerate(np.asarray(lens)):
+        np.testing.assert_allclose(got[b, :, :L], ref[b, :, :L], atol=2e-5,
+                                   rtol=1e-4)
+
+
+def test_packed_pair_attention_bf16(rng):
+    from indextts_tpu.ops.pallas.attn import packed_pair_attention
+
+    B, H, T, D = 1, 8, 128, 64
+    q = jnp.asarray(rng.standard_normal((B, T, H * D)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((B, T, H * D)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, T, H * D)), jnp.bfloat16)
+    lens = jnp.asarray([77], jnp.int32)
+
+    def to_bhtd(x):
+        return x.reshape(B, T, H, D).transpose(0, 2, 1, 3)
+
+    ref = np.asarray(single_block_attention(
+        to_bhtd(q), to_bhtd(k), to_bhtd(v), lens, interpret=True),
+        np.float32)
+    got = np.asarray(packed_pair_attention(q, k, v, lens, heads=H,
+                                           interpret=True), np.float32)
+    got = got.reshape(B, T, H, D).transpose(0, 2, 1, 3)
+    for b, L in enumerate(np.asarray(lens)):
+        np.testing.assert_allclose(got[b, :, :L], ref[b, :, :L], atol=3e-2,
+                                   rtol=3e-2)
+
+
+def test_dit_backbone_packed_wiring(rng, monkeypatch):
+    """The packed kernel as wired into dit_backbone_forward (natural-layout
+    call, no head transposes) matches the dense CPU path."""
+    import jax
+
+    from indextts_tpu.config import DiTConfig
+    from indextts_tpu.models.s2mel import dit
+    from indextts_tpu.nn import InitRng
+    from indextts_tpu.ops.pallas import attn as attn_mod
+    from indextts_tpu.ops.rope import precompute_freqs_cis
+
+    cfg = DiTConfig(hidden_dim=128, num_heads=2, depth=2, in_channels=8)
+    assert cfg.head_dim == 64
+    p = dit.init_dit_backbone(InitRng(3), cfg)
+    B, T = 2, 256
+    x = jnp.asarray(rng.standard_normal((B, T, 128)), jnp.float32)
+    c = jnp.asarray(rng.standard_normal((B, 1, 128)), jnp.float32)
+    freqs = jnp.asarray(precompute_freqs_cis(T, cfg.head_dim, cfg.rope_base))
+    lens = jnp.asarray([256, 130], jnp.int32)
+    mask = jnp.arange(T)[None, :] < lens[:, None]
+
+    ref = np.asarray(dit.dit_backbone_forward(p, cfg, x, c, freqs, mask,
+                                              lengths=None))
+
+    real = attn_mod.packed_pair_attention
+    monkeypatch.setattr(
+        attn_mod, "packed_pair_attention",
+        lambda *a, **k: real(*a, interpret=True, **k))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    got = np.asarray(dit.dit_backbone_forward(p, cfg, x, c, freqs, mask,
+                                              lengths=lens))
+    for b, L in enumerate(np.asarray(lens)):
+        np.testing.assert_allclose(got[b, :L], ref[b, :L], atol=2e-4,
+                                   rtol=2e-3)
