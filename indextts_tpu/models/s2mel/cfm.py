@@ -27,7 +27,8 @@ def cfm_inference(params: Params, s2: S2MelConfig, mu: jnp.ndarray,
                   x_lens: jnp.ndarray, prompt: jnp.ndarray, style: jnp.ndarray,
                   rng: jax.Array, n_timesteps: int = 25, temperature: float = 1.0,
                   inference_cfg_rate: float = 0.7,
-                  prompt_len: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                  prompt_len: Optional[jnp.ndarray] = None,
+                  seq_sharding=None) -> jnp.ndarray:
     """Generate mel from semantic features.
 
     mu:     (B, T, content_dim) length-regulated semantic features
@@ -36,6 +37,8 @@ def cfm_inference(params: Params, s2: S2MelConfig, mu: jnp.ndarray,
             (we take it pre-placed, static shape; reference builds it from
             `prompt[..., :prompt_len]`, `flow_matching.py:79-82`)
     prompt_len: (B,) length of the prompt region (zeros written over x there)
+    seq_sharding: optional (batch, time, feature) NamedSharding with time on
+    the mesh's sp axis — sequence-parallel DiT (see dit_backbone_forward).
     Returns (B, T, 80) generated mel (prompt region is zeroed, as in the
     reference where x[..., :prompt_len] is forced 0 each step; the caller
     slices it off).
@@ -66,12 +69,13 @@ def cfm_inference(params: Params, s2: S2MelConfig, mu: jnp.ndarray,
             x2 = jnp.concatenate([x, x], axis=0)
             t2 = jnp.broadcast_to(t0, (2 * B,))
             v2 = dit_forward(params, s2, x2, prompt2, lens2, t2, style2, mu2,
-                             freqs_cis=freqs)
+                             freqs_cis=freqs, seq_sharding=seq_sharding)
             v_cond, v_null = jnp.split(v2, 2, axis=0)
             v = (1.0 + inference_cfg_rate) * v_cond - inference_cfg_rate * v_null
         else:
             v = dit_forward(params, s2, x, prompt_x, x_lens,
-                            jnp.broadcast_to(t0, (B,)), style, mu, freqs_cis=freqs)
+                            jnp.broadcast_to(t0, (B,)), style, mu,
+                            freqs_cis=freqs, seq_sharding=seq_sharding)
         x = x + dt * v
         x = jnp.where(prompt_region, 0.0, x)
         return x, None

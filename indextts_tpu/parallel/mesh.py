@@ -7,8 +7,11 @@ path, SURVEY.md §2.11): scale via `jax.sharding.Mesh` + GSPMD. Axes:
   analogue of the reference's single-device `bucket_segments`)
 - ``tp``  — tensor parallel: attention heads + MLP hidden of the GPT and DiT
   sharded across chips; XLA inserts the all-reduces over ICI
-- ``sp``  — sequence/context parallel for very long DiT sequences (folded
-  into dp for the mesh shape; annotate activations on the time axis)
+- ``sp``  — sequence/context parallel for very long DiT sequences: the
+  mel-time axis of the CFM/DiT activations is sharded over ``sp`` and GSPMD
+  partitions the backbone spatially (attention score rows, FFN, WaveNet
+  convs with halo exchange), inserting the k/v all-gather over ICI. Off
+  (size 1 / absent) by default; `make_mesh(sp=...)` opts in.
 
 Single chip degenerates to a 1x1 mesh with zero collectives.
 """
@@ -23,10 +26,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: Optional[int] = None, tp: Optional[int] = None,
-              devices=None) -> Mesh:
-    """Factor devices into a (dp, tp) mesh. tp defaults to the largest
-    power-of-two divisor <= 8 that divides the device count (heads are
-    typically divisible by 4/8; 20 heads -> tp in {1,2,4})."""
+              devices=None, sp: int = 1) -> Mesh:
+    """Factor devices into a (dp, tp) mesh — or (dp, sp, tp) when ``sp`` > 1.
+    tp defaults to the largest power-of-two divisor <= 8 that divides the
+    device count (heads are typically divisible by 4/8; 20 heads -> tp in
+    {1,2,4}). sp=1 keeps the historical two-axis mesh so existing (dp, tp)
+    PartitionSpecs are unaffected."""
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
@@ -35,17 +40,20 @@ def make_mesh(n_devices: Optional[int] = None, tp: Optional[int] = None,
     if tp is None:
         tp = 1
         for cand in (8, 4, 2):
-            if n % cand == 0:
+            if n % cand == 0 and (n // cand) % max(sp, 1) == 0:
                 tp = cand
                 break
     if n == 0:
         raise ValueError("make_mesh: no devices available (requested "
                          f"n_devices={n_devices})")
-    if tp <= 0 or n % tp != 0:
+    if tp <= 0 or sp <= 0 or n % (tp * sp) != 0:
         raise ValueError(
-            f"make_mesh: tp={tp} does not divide the device count {n}; "
-            f"pick tp from the divisors of {n}")
-    dp = n // tp
+            f"make_mesh: tp={tp} * sp={sp} does not divide the device "
+            f"count {n}; pick factors of {n}")
+    dp = n // (tp * sp)
+    if sp > 1:
+        arr = np.asarray(devices).reshape(dp, sp, tp)
+        return Mesh(arr, axis_names=("dp", "sp", "tp"))
     arr = np.asarray(devices).reshape(dp, tp)
     return Mesh(arr, axis_names=("dp", "tp"))
 
@@ -57,6 +65,14 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading batch axis over dp."""
     return NamedSharding(mesh, P("dp"))
+
+
+def seq_sharding(mesh: Mesh) -> Optional[NamedSharding]:
+    """(B, T, C) sharding with the time axis over sp (and batch over dp).
+    None when the mesh has no sp axis — callers skip sequence parallelism."""
+    if "sp" not in mesh.axis_names:
+        return None
+    return NamedSharding(mesh, P("dp", "sp", None))
 
 
 def _spec_for_path(path: str, leaf) -> P:

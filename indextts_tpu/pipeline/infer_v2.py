@@ -506,11 +506,18 @@ class IndexTTS2:
                                    jnp.float32)
             prompt_mel = jax.lax.dynamic_update_slice(
                 prompt_mel, ref_mel[:, :prompt_bucket].astype(jnp.float32), (0, 0, 0))
+            # [M] sequence parallel: on an sp mesh the DiT time axis shards
+            # over sp (GSPMD partitions the backbone; see parallel/mesh.py)
+            seq_sh = None
+            if self.mesh is not None:
+                from indextts_tpu.parallel.mesh import seq_sharding
+                seq_sh = seq_sharding(self.mesh)
             vc = cfm_inference(s2mel_params["cfm"], cfg.s2mel,
                                cat_cond.astype(dtype), x_lens,
                                prompt_mel.astype(dtype), style.astype(dtype),
                                rng, n_timesteps=n_timesteps,
-                               inference_cfg_rate=0.7, prompt_len=prompt_len)
+                               inference_cfg_rate=0.7, prompt_len=prompt_len,
+                               seq_sharding=seq_sh)
             # shift target region back to offset 0
             idx2 = jnp.arange(mel_bucket)[None, :] + prompt_len[:, None]
             idx2 = jnp.minimum(idx2, total - 1)

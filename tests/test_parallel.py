@@ -72,3 +72,55 @@ def test_train_step_single_device():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(1)
+
+
+def test_seq_parallel_cfm_matches_single_device():
+    """Sequence-parallel CFM/DiT (time axis over sp) must equal the
+    unsharded run: GSPMD partitions the backbone spatially and inserts the
+    attention k/v all-gather; numerics must not change."""
+    from indextts_tpu.config import (DiTConfig, LengthRegulatorConfig,
+                                     S2MelConfig, StyleEncoderConfig,
+                                     WaveNetConfig)
+    from indextts_tpu.models.s2mel.cfm import cfm_inference
+    from indextts_tpu.models.s2mel.dit import init_dit
+    from indextts_tpu.nn import InitRng
+    from indextts_tpu.parallel.mesh import seq_sharding
+
+    s2 = S2MelConfig(
+        DiT=DiTConfig(hidden_dim=64, num_heads=4, depth=2, in_channels=8,
+                      content_dim=16, final_layer_type="wavenet"),
+        wavenet=WaveNetConfig(hidden_dim=64, num_layers=3, kernel_size=5,
+                              dilation_rate=1, p_dropout=0.0,
+                              style_condition=True),
+        style_encoder=StyleEncoderConfig(dim=12),
+        length_regulator=LengthRegulatorConfig(channels=16, is_discrete=True,
+                                               content_codebook_size=32,
+                                               sampling_ratios=(1, 1)),
+    )
+    params = init_dit(InitRng(0), s2)
+    rng = np.random.default_rng(1)
+    B, T = 2, 64
+    mu = jnp.asarray(rng.standard_normal((B, T, 16)), jnp.float32)
+    prompt = jnp.asarray(rng.standard_normal((B, T, 8)), jnp.float32)
+    style = jnp.asarray(rng.standard_normal((B, 12)), jnp.float32)
+    x_lens = jnp.asarray([T, 40], jnp.int32)
+    p_lens = jnp.asarray([8, 8], jnp.int32)
+    key = jax.random.PRNGKey(7)
+
+    ref = np.asarray(cfm_inference(params, s2, mu, x_lens, prompt, style,
+                                   key, n_timesteps=4, prompt_len=p_lens))
+
+    mesh = make_mesh(8, tp=1, sp=4)
+    assert mesh.devices.shape == (2, 4, 1)
+    ss = seq_sharding(mesh)
+    assert ss is not None and ss.spec == P("dp", "sp", None)
+    # two-axis mesh has no sp -> helper declines
+    assert seq_sharding(make_mesh(8, tp=2)) is None
+
+    put = lambda a: jax.device_put(a, ss)
+    mu_s, prompt_s = put(mu), put(prompt)
+    out = jax.jit(
+        lambda m, pr: cfm_inference(params, s2, m, x_lens, pr, style, key,
+                                    n_timesteps=4, prompt_len=p_lens,
+                                    seq_sharding=ss))(mu_s, prompt_s)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=1e-4)
