@@ -150,15 +150,16 @@ def dit_backbone_forward(p: Params, cfg: DiTConfig, x: jnp.ndarray,
 
     B, T, D = x.shape
     H, Dh = cfg.num_heads, cfg.head_dim
-    # T cap: both kernels hold the (T, T)-scale f32 scores in VMEM
-    # (T=2560 needs 25.7 MB vs the 16 MB scope — measured OOM at the
-    # 1500-mel-token serving cap); beyond it, dense masked softmax
+    # T caps: the single-block kernel holds the full (T, T) f32 scores in
+    # VMEM under the default 16 MB scope (OOM measured at T=2560); the
+    # packed kernel chunks queries and raises its VMEM limit, so it covers
+    # the 1500-mel-token serving bucket (T~2304) too. Past its cap, dense.
     on_tpu = jax.default_backend() in ("tpu", "axon")
     kernel_ok = (not cfg.is_causal and lengths is not None and T % 128 == 0
-                 and T <= 1536 and on_tpu and seq_sharding is None)
-    use_packed = (kernel_ok and H % 2 == 0 and 2 * Dh == 128
+                 and on_tpu and seq_sharding is None)
+    use_packed = (kernel_ok and T <= 3072 and H % 2 == 0 and 2 * Dh == 128
                   and os.environ.get("INDEXTTS_PACKED_ATTN", "1") != "0")
-    use_flash = (kernel_ok
+    use_flash = (kernel_ok and T <= 1536
                  and os.environ.get("INDEXTTS_FLASH_DIT", "1") != "0")
     attn_mask = None
     if mask is not None and not cfg.is_causal:

@@ -25,53 +25,51 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _packed_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float,
-                   T: int, H: int, D: int, q_chunk: int):
-    """Pair-packed attention over natural (T, H*D) layout; see
-    packed_pair_attention for the layout trick."""
+                   T: int, D: int, q_chunk: int):
+    """Pair-packed attention over one (T, 2D) lane slice of the natural
+    (T, H*D) layout; see packed_pair_attention for the layout trick. The
+    grid is (B, H//2): keeping the pair loop OUT of the kernel bounds the
+    unrolled f32 score temporaries (one pair's worth, not H//2 of them) —
+    the all-pairs-in-one-step form OOM'd scoped VMEM at T=2304 (107.7 MB)."""
     b = pl.program_id(0)
     length = len_ref[b]
-    q = q_ref[0]                                    # (T, H*D)
-    k = k_ref[0]
-    v = v_ref[0]
+    ks = k_ref[0]                                   # (T, 2D) tile-aligned
+    vs = v_ref[0]
+    q2 = q_ref[0]
     lane2 = jax.lax.broadcasted_iota(jnp.int32, (T, 2 * D), 1)
     col = jax.lax.broadcasted_iota(jnp.int32, (q_chunk, 2 * T), 1)
     keyj = jnp.where(col >= T, col - T, col)
     key_ok = keyj < length
-    for p in range(H // 2):
-        sl = slice(p * 2 * D, (p + 1) * 2 * D)
-        ks = k[:, sl]                               # (T, 2D) tile-aligned
-        vs = v[:, sl]
-        q2 = q[:, sl]
-        # block-diag key matrix: rows 0:T carry head 2p (lanes < D), rows
-        # T:2T head 2p+1 (lanes >= D); the off-head lanes are zeroed so one
-        # full-depth (T, 2D) x (2T, 2D) contraction yields both heads'
-        # scores side by side — K=2D=128 keeps the MXU on full tiles
-        # (measured 152 TF/s vs ~16 TF/s for the per-head K=64 form).
-        k_lo = jnp.where(lane2 < D, ks, jnp.zeros_like(ks))
-        k_hi = jnp.where(lane2 >= D, ks, jnp.zeros_like(ks))
-        k2 = jnp.concatenate([k_lo, k_hi], axis=0)  # (2T, 2D)
-        v_lo = jnp.where(lane2 < D, vs, jnp.zeros_like(vs))
-        v_hi = jnp.where(lane2 >= D, vs, jnp.zeros_like(vs))
-        for c in range(T // q_chunk):
-            rows = slice(c * q_chunk, (c + 1) * q_chunk)
-            s = jax.lax.dot_general(
-                q2[rows], k2, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale  # (qc, 2T)
-            s = jnp.where(key_ok, s, jnp.float32(-1e9))
-            s_lo, s_hi = s[:, :T], s[:, T:]
-            m_lo = jnp.max(s_lo, axis=1, keepdims=True)
-            m_hi = jnp.max(s_hi, axis=1, keepdims=True)
-            p_lo = jnp.exp(s_lo - m_lo)
-            p_hi = jnp.exp(s_hi - m_hi)
-            r_lo = jnp.sum(p_lo, axis=1, keepdims=True)
-            r_hi = jnp.sum(p_hi, axis=1, keepdims=True)
-            # v_lo / v_hi carry zeros on the other head's lanes, so the two
-            # (qc, T) x (T, 2D) products land disjoint lane halves
-            o_lo = jnp.dot(p_lo.astype(v.dtype), v_lo,
-                           preferred_element_type=jnp.float32) / r_lo
-            o_hi = jnp.dot(p_hi.astype(v.dtype), v_hi,
-                           preferred_element_type=jnp.float32) / r_hi
-            o_ref[0, rows, sl] = (o_lo + o_hi).astype(o_ref.dtype)
+    # block-diag key matrix: rows 0:T carry head 2p (lanes < D), rows
+    # T:2T head 2p+1 (lanes >= D); the off-head lanes are zeroed so one
+    # full-depth (T, 2D) x (2T, 2D) contraction yields both heads'
+    # scores side by side — K=2D=128 keeps the MXU on full tiles
+    # (measured 152 TF/s vs ~16 TF/s for the per-head K=64 form).
+    k_lo = jnp.where(lane2 < D, ks, jnp.zeros_like(ks))
+    k_hi = jnp.where(lane2 >= D, ks, jnp.zeros_like(ks))
+    k2 = jnp.concatenate([k_lo, k_hi], axis=0)      # (2T, 2D)
+    v_lo = jnp.where(lane2 < D, vs, jnp.zeros_like(vs))
+    v_hi = jnp.where(lane2 >= D, vs, jnp.zeros_like(vs))
+    for c in range(T // q_chunk):
+        rows = slice(c * q_chunk, (c + 1) * q_chunk)
+        s = jax.lax.dot_general(
+            q2[rows], k2, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # (qc, 2T)
+        s = jnp.where(key_ok, s, jnp.float32(-1e9))
+        s_lo, s_hi = s[:, :T], s[:, T:]
+        m_lo = jnp.max(s_lo, axis=1, keepdims=True)
+        m_hi = jnp.max(s_hi, axis=1, keepdims=True)
+        p_lo = jnp.exp(s_lo - m_lo)
+        p_hi = jnp.exp(s_hi - m_hi)
+        r_lo = jnp.sum(p_lo, axis=1, keepdims=True)
+        r_hi = jnp.sum(p_hi, axis=1, keepdims=True)
+        # v_lo / v_hi carry zeros on the other head's lanes, so the two
+        # (qc, T) x (T, 2D) products land disjoint lane halves
+        o_lo = jnp.dot(p_lo.astype(vs.dtype), v_lo,
+                       preferred_element_type=jnp.float32) / r_lo
+        o_hi = jnp.dot(p_hi.astype(vs.dtype), v_hi,
+                       preferred_element_type=jnp.float32) / r_hi
+        o_ref[0, rows] = (o_lo + o_hi).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "interpret"))
@@ -83,8 +81,8 @@ def packed_pair_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     Equivalent to single_block_attention on the (B, H, T, D) transposes of
     the inputs, but ~5x faster at DiT shapes: the per-(b, h) grid form pays
     K=64 contractions (~16 TF/s on the MXU) plus 128 small grid steps; this
-    kernel grids over batch only and processes heads in PAIRS on 128-lane
-    slices of the natural layout — full-depth K=128 scores (one
+    kernel grids over (batch, head-pair) and processes heads in PAIRS on
+    128-lane slices of the natural layout — full-depth K=128 scores (one
     (T, 2D) x (2T, 2D) block-diag contraction per pair, 152 TF/s measured)
     and zero-padded (qc, T) x (T, 2D) PV products that write both heads'
     lanes at once. Requires H even, D=64-style H*D lane tiling (2D == 128),
@@ -98,25 +96,28 @@ def packed_pair_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     B, T, HD = q.shape
     D = HD // heads
     assert heads % 2 == 0 and 2 * D == 128, (heads, D)
-    q_chunk = 384 if T % 384 == 0 else 128
+    # larger q chunks amortize the mask/softmax bookkeeping, but the f32
+    # (qc, 2T) score temporaries of the unrolled loops stack up in VMEM —
+    # beyond T=1536 drop to 128-row chunks to stay inside the raised limit
+    q_chunk = 384 if T % 384 == 0 and T <= 1536 else 128
     assert T % q_chunk == 0, T
     scale = 1.0 / math.sqrt(D)
-    kernel = functools.partial(_packed_kernel, scale=scale, T=T, H=heads,
+    kernel = functools.partial(_packed_kernel, scale=scale, T=T,
                                D=D, q_chunk=q_chunk)
-    spec = pl.BlockSpec((1, T, HD), lambda b, *_: (b, 0, 0),
+    spec = pl.BlockSpec((1, T, 2 * D), lambda b, p, *_: (b, 0, p),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(B,),
+            grid=(B, heads // 2),
             in_specs=[spec, spec, spec],
             out_specs=spec,
         ),
         out_shape=jax.ShapeDtypeStruct((B, T, HD), q.dtype),
-        # the unrolled pair/chunk loops keep several (qc, 2T) f32 score
-        # temporaries live at once (~41 MB scoped at T=1152); v5e has 128 MB
-        # of VMEM, so raise the 16 MB default rather than shrink the tiles
+        # the unrolled chunk loop keeps several (qc, 2T) f32 score
+        # temporaries live at once; v5e has 128 MB of VMEM, so raise the
+        # 16 MB default rather than shrink the tiles
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
     )(lengths.astype(jnp.int32), q, k.astype(q.dtype), v.astype(q.dtype))

@@ -85,6 +85,13 @@ def main():
                 v = v.reshape(B, T, H, Dh)
                 if attn == "id":
                     out = v
+                elif attn == "packed":
+                    from indextts_tpu.ops.pallas.attn import \
+                        packed_pair_attention
+                    out = packed_pair_attention(
+                        q.reshape(B, T, H * Dh), k.reshape(B, T, H * Dh),
+                        v.reshape(B, T, H * Dh), lens,
+                        heads=H).reshape(B, T, H, Dh)
                 elif attn == "flash":
                     out = nn.mha_flash(q.transpose(0, 2, 1, 3),
                                        k.transpose(0, 2, 1, 3),
@@ -114,7 +121,7 @@ def main():
                 if level == 0:
                     out = x_in[..., :cfg.in_channels]
                 else:
-                    attn = {1: "id"}.get(level, "flash")
+                    attn = {1: "id"}.get(level, "packed")
                     x_res = backbone(p, x_in, t1, attn)
                     if level <= 2:
                         out = x_res[..., :cfg.in_channels]
@@ -144,7 +151,7 @@ def main():
 
         return jax.jit(f)
 
-    labels = ["p0 merge-in", "p1 +body(no attn)", "p2 +flash attn",
+    labels = ["p0 merge-in", "p1 +body(no attn)", "p2 +packed attn",
               "p3 +skip_linear", "p4 +wavenet head (full)"]
     prev = 0.0
     for level, label in enumerate(labels):
@@ -162,7 +169,7 @@ def main():
         prev = best
 
     # attention A/B at full scale, in-scan: flash vs dense
-    for attn in ("flash", "dense"):
+    for attn in ("packed", "flash", "dense"):
         def g(p, x, _attn=attn):
             def one(xc, i):
                 t = jnp.full((B,), 0.5)
@@ -184,7 +191,14 @@ def main():
                     q = apply_rotary_emb_half(q.reshape(B, T, H, Dh), freqs)
                     k = apply_rotary_emb_half(k.reshape(B, T, H, Dh), freqs)
                     v = v.reshape(B, T, H, Dh)
-                    if _attn == "flash":
+                    if _attn == "packed":
+                        from indextts_tpu.ops.pallas.attn import \
+                            packed_pair_attention
+                        out = packed_pair_attention(
+                            q.reshape(B, T, H * Dh), k.reshape(B, T, H * Dh),
+                            v.reshape(B, T, H * Dh), lens,
+                            heads=H).reshape(B, T, H, Dh)
+                    elif _attn == "flash":
                         out = nn.mha_flash(q.transpose(0, 2, 1, 3),
                                            k.transpose(0, 2, 1, 3),
                                            v.transpose(0, 2, 1, 3), lens
