@@ -173,18 +173,26 @@ def dit_backbone_forward(p: Params, cfg: DiTConfig, x: jnp.ndarray,
         h = _ada_ln(lp["attention_norm"], xc, c, cfg.norm_eps)
         qkv = nn.dense(lp["attn"]["wqkv"], h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
+        if use_packed:
+            # rope is fused into the kernel (same half-split math on the
+            # pre-rope rows) — the XLA-side rope costs ~5 ms/step of
+            # narrow-lane elementwise traffic on the (B, T, H, 64) layout
+            from indextts_tpu.ops.pallas.attn import \
+                packed_pair_attention_rope
+            out = packed_pair_attention_rope(q, k, v, lengths, freqs_cis,
+                                             heads=H)
+            xc = xc + nn.dense(lp["attn"]["wo"], out)
+            h = _ada_ln(lp["ffn_norm"], xc, c, cfg.norm_eps)
+            h = nn.dense(lp["ff"]["w2"],
+                         jax.nn.silu(nn.dense(lp["ff"]["w1"], h))
+                         * nn.dense(lp["ff"]["w3"], h))
+            return xc + h, None
         # half-split rope: wqkv columns are pair-deinterleaved (random init
         # is layout-free; torch checkpoints are permuted by the converter)
         q = apply_rotary_emb_half(q.reshape(B, T, H, Dh), freqs_cis)
         k = apply_rotary_emb_half(k.reshape(B, T, H, Dh), freqs_cis)
         v = v.reshape(B, T, H, Dh)
-        if use_packed:
-            from indextts_tpu.ops.pallas.attn import packed_pair_attention
-            out = packed_pair_attention(q.reshape(B, T, H * Dh),
-                                        k.reshape(B, T, H * Dh),
-                                        v.reshape(B, T, H * Dh),
-                                        lengths, heads=H)
-        elif use_flash:
+        if use_flash:
             out = nn.mha_flash(q.transpose(0, 2, 1, 3),
                                k.transpose(0, 2, 1, 3),
                                v.transpose(0, 2, 1, 3), lengths)

@@ -123,6 +123,114 @@ def packed_pair_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     )(lengths.astype(jnp.int32), q, k.astype(q.dtype), v.astype(q.dtype))
 
 
+def _packed_rope_kernel(len_ref, cs_ref, q_ref, k_ref, v_ref, o_ref, *,
+                        scale: float, T: int, D: int, q_chunk: int):
+    """Pair-packed attention with HALF-SPLIT ROPE fused in.
+
+    q_ref/k_ref carry PRE-rope rows; cs_ref is (T, 4D) f32 = [C | S] where
+    C tiles cos over each D/2 lane group and S carries (-sin, +sin)
+    alternating, so rope is `x*C + swap(x)*S` with swap exchanging adjacent
+    D/2 lane halves. The swap is a 0/1 permutation applied as ONE bf16
+    (T, 2D) x (2D, 2D) matmul — exact (each output row sums one value) and
+    ~0.5 us on the MXU, vs the XLA-side rope's ~5 ms/step of narrow-lane
+    (64) elementwise traffic over the (B, T, H, D) layout. f32 multiply-add
+    ordering matches ops/rope.py::apply_rotary_emb_half exactly.
+    """
+    b = pl.program_id(0)
+    length = len_ref[b]
+    vs = v_ref[0]
+    C = cs_ref[:, : 2 * D]
+    S = cs_ref[:, 2 * D:]
+    row = jax.lax.broadcasted_iota(jnp.int32, (2 * D, 2 * D), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (2 * D, 2 * D), 1)
+    half = D // 2
+    target = jnp.where(row % D < half, row + half, row - half)
+    P = (col == target).astype(q_ref.dtype)
+
+    def rope(x):
+        sw = jax.lax.dot_general(x, P, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        r = x.astype(jnp.float32) * C + sw * S
+        return r.astype(x.dtype)
+
+    q2 = rope(q_ref[0])
+    ks = rope(k_ref[0])
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (T, 2 * D), 1)
+    col2 = jax.lax.broadcasted_iota(jnp.int32, (q_chunk, 2 * T), 1)
+    keyj = jnp.where(col2 >= T, col2 - T, col2)
+    key_ok = keyj < length
+    k_lo = jnp.where(lane2 < D, ks, jnp.zeros_like(ks))
+    k_hi = jnp.where(lane2 >= D, ks, jnp.zeros_like(ks))
+    k2 = jnp.concatenate([k_lo, k_hi], axis=0)
+    v_lo = jnp.where(lane2 < D, vs, jnp.zeros_like(vs))
+    v_hi = jnp.where(lane2 >= D, vs, jnp.zeros_like(vs))
+    for c in range(T // q_chunk):
+        rows = slice(c * q_chunk, (c + 1) * q_chunk)
+        s = jax.lax.dot_general(
+            q2[rows], k2, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        s = jnp.where(key_ok, s, jnp.float32(-1e9))
+        s_lo, s_hi = s[:, :T], s[:, T:]
+        m_lo = jnp.max(s_lo, axis=1, keepdims=True)
+        m_hi = jnp.max(s_hi, axis=1, keepdims=True)
+        p_lo = jnp.exp(s_lo - m_lo)
+        p_hi = jnp.exp(s_hi - m_hi)
+        r_lo = jnp.sum(p_lo, axis=1, keepdims=True)
+        r_hi = jnp.sum(p_hi, axis=1, keepdims=True)
+        o_lo = jnp.dot(p_lo.astype(vs.dtype), v_lo,
+                       preferred_element_type=jnp.float32) / r_lo
+        o_hi = jnp.dot(p_hi.astype(vs.dtype), v_hi,
+                       preferred_element_type=jnp.float32) / r_hi
+        o_ref[0, rows] = (o_lo + o_hi).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "interpret"))
+def packed_pair_attention_rope(q: jnp.ndarray, k: jnp.ndarray,
+                               v: jnp.ndarray, lengths: jnp.ndarray,
+                               freqs_cis: jnp.ndarray, heads: int,
+                               interpret: bool = False) -> jnp.ndarray:
+    """packed_pair_attention with the half-split rope applied IN-KERNEL.
+
+    q, k are pre-rope (B, T, H*D) rows straight off the wqkv split (the
+    deinterleaved-column layout apply_rotary_emb_half expects); freqs_cis
+    is the (>=T, D//2, 2) cos/sin table from precompute_freqs_cis. Saves
+    the XLA-side rope — ~6 elementwise passes over (B, T, H, D) tiles
+    whose 64-wide lane dim wastes half the VPU — and the layout round-trip
+    at the kernel boundary. Numerics: rope in f32 exactly as
+    apply_rotary_emb_half, then identical attention math.
+    """
+    B, T, HD = q.shape
+    D = HD // heads
+    assert heads % 2 == 0 and 2 * D == 128, (heads, D)
+    q_chunk = 384 if T % 384 == 0 and T <= 1536 else 128
+    assert T % q_chunk == 0, T
+    scale = 1.0 / math.sqrt(D)
+    cos = freqs_cis[:T, :, 0].astype(jnp.float32)     # (T, D/2)
+    sin = freqs_cis[:T, :, 1].astype(jnp.float32)
+    C = jnp.concatenate([cos, cos, cos, cos], axis=1)  # (T, 2D)
+    S = jnp.concatenate([-sin, sin, -sin, sin], axis=1)
+    cs = jnp.concatenate([C, S], axis=1)               # (T, 4D) f32
+    kernel = functools.partial(_packed_rope_kernel, scale=scale, T=T,
+                               D=D, q_chunk=q_chunk)
+    spec = pl.BlockSpec((1, T, 2 * D), lambda b, p, *_: (b, 0, p),
+                        memory_space=pltpu.VMEM)
+    cs_spec = pl.BlockSpec((T, 4 * D), lambda b, p, *_: (0, 0),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, heads // 2),
+            in_specs=[cs_spec, spec, spec, spec],
+            out_specs=spec,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, T, HD), q.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), cs, q, k.astype(q.dtype),
+      v.astype(q.dtype))
+
+
 def _kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float):
     b = pl.program_id(0)
     T = q_ref.shape[2]

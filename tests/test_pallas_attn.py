@@ -106,9 +106,9 @@ def test_dit_backbone_packed_wiring(rng, monkeypatch):
     ref = np.asarray(dit.dit_backbone_forward(p, cfg, x, c, freqs, mask,
                                               lengths=None))
 
-    real = attn_mod.packed_pair_attention
+    real = attn_mod.packed_pair_attention_rope
     monkeypatch.setattr(
-        attn_mod, "packed_pair_attention",
+        attn_mod, "packed_pair_attention_rope",
         lambda *a, **k: real(*a, interpret=True, **k))
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     got = np.asarray(dit.dit_backbone_forward(p, cfg, x, c, freqs, mask,
@@ -116,3 +116,32 @@ def test_dit_backbone_packed_wiring(rng, monkeypatch):
     for b, L in enumerate(np.asarray(lens)):
         np.testing.assert_allclose(got[b, :L], ref[b, :L], atol=2e-4,
                                    rtol=2e-3)
+
+
+def test_packed_rope_matches_rope_then_packed(rng):
+    """In-kernel half-split rope == apply_rotary_emb_half then attention."""
+    from indextts_tpu.ops.pallas.attn import (packed_pair_attention,
+                                              packed_pair_attention_rope)
+    from indextts_tpu.ops.rope import (apply_rotary_emb_half,
+                                       precompute_freqs_cis)
+
+    B, H, T, D = 2, 4, 256, 64
+    # bf16: the f32 rope rounds once more than XLA's fused multiply-add
+    # before the bf16 cast -> rare 1-ulp flips (measured 24/65536 elements)
+    for dt, atol in ((jnp.float32, 1e-5), (jnp.bfloat16, 4e-3)):
+        q = jnp.asarray(rng.standard_normal((B, T, H * D)), dt)
+        k = jnp.asarray(rng.standard_normal((B, T, H * D)), dt)
+        v = jnp.asarray(rng.standard_normal((B, T, H * D)), dt)
+        lens = jnp.asarray([256, 100], jnp.int32)
+        freqs = jnp.asarray(precompute_freqs_cis(T, D))
+
+        qr = apply_rotary_emb_half(q.reshape(B, T, H, D), freqs)
+        kr = apply_rotary_emb_half(k.reshape(B, T, H, D), freqs)
+        ref = np.asarray(packed_pair_attention(
+            qr.reshape(B, T, H * D), kr.reshape(B, T, H * D), v, lens,
+            heads=H, interpret=True), np.float32)
+        got = np.asarray(packed_pair_attention_rope(
+            q, k, v, lens, freqs, heads=H, interpret=True), np.float32)
+        for b, L in enumerate(np.asarray(lens)):
+            np.testing.assert_allclose(got[b, :L], ref[b, :L], atol=atol,
+                                       rtol=1e-4)
