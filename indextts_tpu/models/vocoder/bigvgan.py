@@ -115,6 +115,83 @@ def _amp_block(bp: Params, h: BigVGANConfig, x: jnp.ndarray, ks: int,
     return x
 
 
+def _amp_stage_grouped(blocks, h: BigVGANConfig, x: jnp.ndarray,
+                       lengths: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """All of one upsample stage's AMPBlock1 resblocks in lockstep on
+    (B, T, n*C) stacked lanes — exact restructure of `mean(_amp_block_j(x))`.
+
+    The narrow-stage convs are LATENCY-bound, not FLOP-bound: device probe
+    (tools/probe_narrow_conv.py, B=4) measured a flat ~4.2 ms per plain
+    conv at C=24/48 regardless of kernel size (0.5-3 TF/s), while one
+    feature_group_count=3 conv over the stacked (B, T, 3C) tensor covers
+    all three resblocks' convs for ~2.1-2.8 ms TOTAL (the 3/7/11 kernels
+    zero-pad to 11 taps — exact, the extra taps multiply by zero). The
+    three resblocks share the (1, 3, 5) dilation schedule, so their chains
+    advance position-by-position together; snake alphas concatenate on the
+    channel axis (the antialias kernel is per-channel).
+    """
+    n = len(blocks)
+    kmax = max(h.resblock_kernel_sizes)
+    x3 = jnp.concatenate([x] * n, axis=-1)
+    dils = h.resblock_dilation_sizes[0]
+
+    def cat_act(idx, key):
+        parts = [bp["acts"][idx].get(key) for bp in blocks]
+        if parts[0] is None:
+            return None
+        return jnp.concatenate([a.reshape(-1) for a in parts])
+
+    def grouped(conv_key, j, xt, d):
+        ws, bs = [], []
+        for bp, ks in zip(blocks, h.resblock_kernel_sizes):
+            w = bp[conv_key][j]["kernel"]          # (ks, C, C)
+            off = (kmax - ks) // 2
+            ws.append(jnp.pad(w, ((off, off), (0, 0), (0, 0))))
+            bs.append(bp[conv_key][j]["bias"])
+        wg = {"kernel": jnp.concatenate(ws, axis=2),
+              "bias": jnp.concatenate(bs)}
+        return nn.conv1d(wg, xt, padding=_get_padding(kmax, d), dilation=d,
+                         groups=n)
+
+    for j, d in enumerate(dils):
+        a1 = cat_act(2 * j, "alpha")
+        xt = antialias_activation(x3, a1, cat_act(2 * j, "beta"), lengths,
+                                  h.snake_logscale)
+        xt = _mask(xt, lengths)
+        xt = grouped("convs1", j, xt, d)
+        xt = _mask(xt, lengths)
+        xt = antialias_activation(xt, cat_act(2 * j + 1, "alpha"),
+                                  cat_act(2 * j + 1, "beta"), lengths,
+                                  h.snake_logscale)
+        xt = _mask(xt, lengths)
+        xt = grouped("convs2", j, xt, 1)
+        x3 = x3 + xt
+        x3 = _mask(x3, lengths)
+    C = x.shape[-1]
+    xs = sum(x3[:, :, g * C:(g + 1) * C] for g in range(n))
+    return xs / n
+
+
+def _use_grouped_mrf(h: BigVGANConfig, C: int) -> bool:
+    """Grouped-MRF dispatch — OPT-IN (INDEXTTS_GROUPED_MRF=1; =force
+    off-TPU), OFF by default: another honest negative like the time-folded
+    convs. The standalone probe (tools/probe_narrow_conv.py) measured plain
+    narrow convs at a flat ~4.2 ms each (latency-bound) vs ~2.1-2.8 ms for
+    one grouped conv covering 3 — but the whole-vocoder in-process A/B
+    (tools/bench_grouped_mrf.py, B=4 mel 1088 bf16) measured plain 576.5 ms
+    vs grouped 599.3: in model context XLA fuses the masks/antialias
+    elementwise into the plain conv chain, so isolated conv timings
+    overstate their in-model cost, and the stacked form pays the x3
+    concat/stacking instead. Kept for A/B and as the probe's receipts."""
+    import os
+
+    flag = os.environ.get("INDEXTTS_GROUPED_MRF", "0")
+    if flag == "0" or len(set(h.resblock_dilation_sizes)) != 1:
+        return False
+    return (C <= 48 and (flag == "force"
+                         or jax.default_backend() in ("tpu", "axon")))
+
+
 def bigvgan_forward(p: Params, h: BigVGANConfig, mel: jnp.ndarray,
                     mel_lens: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """mel: (B, T, num_mels) -> wav (B, T * prod(rates)) in [-1, 1].
@@ -131,12 +208,17 @@ def bigvgan_forward(p: Params, h: BigVGANConfig, mel: jnp.ndarray,
         if lens is not None:
             lens = lens * u
         x = _mask(x, lens)
-        xs = None
-        for j, (ks, dils) in enumerate(zip(h.resblock_kernel_sizes,
-                                           h.resblock_dilation_sizes)):
-            r = _amp_block(p["resblocks"][i * num_kernels + j], h, x, ks, dils, lens)
-            xs = r if xs is None else xs + r
-        x = xs / num_kernels
+        if _use_grouped_mrf(h, x.shape[-1]):
+            blocks = p["resblocks"][i * num_kernels:(i + 1) * num_kernels]
+            x = _amp_stage_grouped(blocks, h, x, lens)
+        else:
+            xs = None
+            for j, (ks, dils) in enumerate(zip(h.resblock_kernel_sizes,
+                                               h.resblock_dilation_sizes)):
+                r = _amp_block(p["resblocks"][i * num_kernels + j], h, x, ks,
+                               dils, lens)
+                xs = r if xs is None else xs + r
+            x = xs / num_kernels
     ap = p["activation_post"]
     x = antialias_activation(x, ap["alpha"], ap.get("beta"), lens, h.snake_logscale)
     x = _mask(x, lens)

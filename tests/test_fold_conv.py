@@ -54,3 +54,26 @@ def test_fold_factor():
     assert fold_factor(192, 256) == 2
     assert fold_factor(768, 256) == 1
     assert fold_factor(24, 8) == 8  # bounded by divisibility
+
+
+def test_bigvgan_grouped_mrf_matches_plain(monkeypatch):
+    """Grouped-MRF stages (3 resblocks in lockstep on stacked lanes, zero-
+    padded 3/7/11 kernels in one feature_group conv) == per-resblock path."""
+    from indextts_tpu.config import BigVGANConfig
+    from indextts_tpu.models.vocoder.bigvgan import (bigvgan_forward,
+                                                     init_bigvgan)
+
+    h = BigVGANConfig(num_mels=8, upsample_rates=(4, 4),
+                      upsample_kernel_sizes=(8, 8),
+                      upsample_initial_channel=96,
+                      resblock_kernel_sizes=(3, 7, 11),
+                      resblock_dilation_sizes=((1, 3, 5),) * 3)
+    params = init_bigvgan(InitRng(5), h)
+    r = np.random.default_rng(7)
+    mel = jnp.asarray(r.standard_normal((2, 32, 8)), jnp.float32)
+    lens = jnp.asarray([32, 20], jnp.int32)
+    monkeypatch.setenv("INDEXTTS_GROUPED_MRF", "0")
+    ref = np.asarray(bigvgan_forward(params, h, mel, lens))
+    monkeypatch.setenv("INDEXTTS_GROUPED_MRF", "force")
+    got = np.asarray(bigvgan_forward(params, h, mel, lens))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)

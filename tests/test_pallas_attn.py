@@ -145,3 +145,25 @@ def test_packed_rope_matches_rope_then_packed(rng):
         for b, L in enumerate(np.asarray(lens)):
             np.testing.assert_allclose(got[b, :L], ref[b, :L], atol=atol,
                                        rtol=1e-4)
+
+
+def test_packed_pair_attention_long_t(rng):
+    """The T>1536 branch (q_chunk drops to 128, serving-cap bucket path)."""
+    from indextts_tpu.ops.pallas.attn import packed_pair_attention
+
+    B, H, T, D = 1, 2, 1664, 64
+    q = jnp.asarray(rng.standard_normal((B, T, H * D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, T, H * D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, T, H * D)), jnp.float32)
+    lens = jnp.asarray([1600], jnp.int32)
+
+    def to_bhtd(x):
+        return x.reshape(B, T, H, D).transpose(0, 2, 1, 3)
+
+    mask = (jnp.arange(T)[None, :] < lens[:, None])[:, None, None, :]
+    ref = np.asarray(nn.mha(to_bhtd(q), to_bhtd(k), to_bhtd(v), mask=mask))
+    got = np.asarray(packed_pair_attention(q, k, v, lens, heads=H,
+                                           interpret=True))
+    got = got.reshape(B, T, H, D).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(got[0, :, :1600], ref[0, :, :1600],
+                               atol=2e-5, rtol=1e-4)

@@ -27,7 +27,7 @@ sys.path.insert(0, "/root/repo")
 import numpy as np
 
 B = 4
-SHAPES = [(24, 139264), (48, 69632)]   # up5, up4 at mel 1088
+SHAPES = [(24, 139264), (48, 69632), (96, 34816)]   # up5..up3 at mel 1088
 KD = [(11, 5), (11, 1), (7, 3), (3, 1)]
 REPS = 8
 
