@@ -97,7 +97,8 @@ def generate_beam(params: Params, cfg: GPTConfig, dims: GPT2Dims,
     B, P, D = prefix_embeds.shape
     V = cfg.number_mel_codes
     # fused multi-layer decode kernel when the beam-flattened batch fits
-    fused = _fused_decode_ok(params, dims, B * K, sampling.kv_quant)
+    fused = _fused_decode_ok(params, dims, B * K, sampling.kv_quant,
+                             beam=True)
     # ancestry-select mode: the cache stays UNORDERED and the kernel selects
     # K/V by a per-position in-group ancestry map — the per-step (B*K, S)
     # cache gather (the HF reorder, ~2x the whole step at full scale)

@@ -43,7 +43,7 @@ from indextts_tpu.ops.sampling import sample_logits
 
 
 def _fused_decode_ok(params: Params, dims: GPT2Dims, B: int,
-                     kv_quant: bool) -> bool:
+                     kv_quant: bool, beam: bool = False) -> bool:
     """Route the decode step through the fused multi-layer Pallas kernel
     (`ops/pallas/decode_step.py`) when the shapes/platform support it (the
     cache is then sized by `_cache_len`, which 128-aligns the span).
@@ -66,7 +66,13 @@ def _fused_decode_ok(params: Params, dims: GPT2Dims, B: int,
         quantized = "q" in params["gpt"]["h"]["attn"]["c_attn"]
     except (KeyError, TypeError):
         quantized = False
-    return (quantized and not kv_quant and B <= 24
+    # int8 KV rides the fused kernel too (flat int8 cache + packed scale
+    # rows, dequant folded into the in-VMEM score/prob tensors) — EXCEPT in
+    # beam mode, where the ancestry selection would have to permute int8
+    # values (Mosaic-risky); beams keep the bf16 cache.
+    if kv_quant and beam:
+        return False
+    return (quantized and B <= 24
             and dims.dim % 640 == 0 and (4 * dims.dim) % 640 == 0)
 
 
@@ -104,9 +110,12 @@ class SamplingConfig:
     length_penalty: float = 0.0
     min_new_tokens: int = 0
     # int8 KV cache (decode-side only; prefill attention stays exact).
-    # Halves cache MEMORY; measured slightly SLOWER than bf16 on the XLA
-    # decode path (attention-side dequant outweighs the saved DMA) and it
-    # disables the fused decode kernel — use for memory headroom only.
+    # On the FUSED kernel path this is a flat int8 cache with packed
+    # per-(position, head) bf16 scale rows whose dequant folds into the
+    # in-VMEM score/prob tensors — 1.67x less cache DMA. On the XLA path
+    # it remains a memory knob (attention-side dequant outweighs the saved
+    # DMA there). Beam mode keeps the bf16 cache (ancestry selection on
+    # int8 values is not supported).
     kv_quant: bool = False
 
 

@@ -105,8 +105,18 @@ def init_kv_cache(dims: GPT2Dims, batch: int, max_len: int, dtype=jnp.bfloat16,
     boundary would repack the WHOLE cache every step (measured ~0.7 ms per
     252 MB); storing flat removes the reshape from the hot loop entirely."""
     if flat:
-        assert not quantized, "flat cache is for the fused (bf16) path"
         shape = (dims.layers, batch, max_len, dims.dim)
+        if quantized:
+            # int8 rows + ONE packed bf16 scale row per position: k-scales
+            # on lanes [0, H), v-scales on [128, 128+H) — two tile-aligned
+            # 128-lane groups whose column layout matches the kernel's
+            # (B*BS, 128) per-head score/prob tensors, so dequant folds into
+            # existing elementwise ops (s128 *= ks, p3 *= vs) with ZERO
+            # extra matmuls. Traffic per position: 2*D int8 + 512 B vs
+            # 2*D bf16 — 1.67x less cache DMA.
+            return {"k": jnp.zeros(shape, jnp.int8),
+                    "v": jnp.zeros(shape, jnp.int8),
+                    "kvs": jnp.zeros(shape[:-1] + (256,), jnp.bfloat16)}
         return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
     shape = (dims.layers, batch, max_len, dims.heads, dims.head_dim)
     if not quantized:
@@ -128,6 +138,33 @@ def _kv_quantize(x: jnp.ndarray):
 
 def _kv_dequant(q: jnp.ndarray, scale: jnp.ndarray, dtype) -> jnp.ndarray:
     return (q.astype(jnp.float32) * scale[..., None]).astype(dtype)
+
+
+def kv_quantize_flat(k: jnp.ndarray, v: jnp.ndarray, heads: int):
+    """Quantize flat (..., D) k/v rows per head for the fused int8 cache.
+
+    Returns (k int8 (..., D), v int8 (..., D), packed scales (..., 256)
+    bf16: k-scales on lanes [0, H), v-scales on [128, 128+H)). Same
+    per-(position, head) max-abs scheme as `_kv_quantize`, except the scale
+    is rounded to bf16 BEFORE quantizing so int8 * stored-scale
+    reconstructs exactly what was quantized against.
+    """
+    *lead, D = k.shape
+    Dh = D // heads
+    pad = [(0, 0)] * len(lead)
+
+    def quant(x):
+        xf = x.reshape(*lead, heads, Dh).astype(jnp.float32)
+        scale = (jnp.max(jnp.abs(xf), axis=-1) / 127.0).astype(jnp.bfloat16)
+        safe = jnp.maximum(scale.astype(jnp.float32), 1e-8)
+        q = jnp.clip(jnp.round(xf / safe[..., None]), -127, 127)
+        return q.astype(jnp.int8).reshape(*lead, D), scale
+
+    kq, ks = quant(k)
+    vq, vs = quant(v)
+    kvs = jnp.concatenate([jnp.pad(ks, pad + [(0, 128 - heads)]),
+                           jnp.pad(vs, pad + [(0, 128 - heads)])], axis=-1)
+    return kq, vq, kvs.astype(jnp.bfloat16)
 
 
 def _attn_block(lp: Params, x: jnp.ndarray, dims: GPT2Dims,
@@ -195,10 +232,19 @@ def gpt2_prefill(params: Params, x: jnp.ndarray, dims: GPT2Dims,
         q, k, v = jnp.split(qkv, 3, axis=-1)
         if flat:
             cache = dict(cache)
-            cache["k"] = jax.lax.dynamic_update_slice(
-                cache["k"], k.astype(cache["k"].dtype), (0, 0, 0))
-            cache["v"] = jax.lax.dynamic_update_slice(
-                cache["v"], v.astype(cache["v"].dtype), (0, 0, 0))
+            if "kvs" in cache:
+                kq, vq, kvs = kv_quantize_flat(k, v, dims.heads)
+                cache["k"] = jax.lax.dynamic_update_slice(
+                    cache["k"], kq, (0, 0, 0))
+                cache["v"] = jax.lax.dynamic_update_slice(
+                    cache["v"], vq, (0, 0, 0))
+                cache["kvs"] = jax.lax.dynamic_update_slice(
+                    cache["kvs"], kvs, (0, 0, 0))
+            else:
+                cache["k"] = jax.lax.dynamic_update_slice(
+                    cache["k"], k.astype(cache["k"].dtype), (0, 0, 0))
+                cache["v"] = jax.lax.dynamic_update_slice(
+                    cache["v"], v.astype(cache["v"].dtype), (0, 0, 0))
             q = q.reshape(B, T, dims.heads, dims.head_dim)
             k = k.reshape(B, T, dims.heads, dims.head_dim)
             v = v.reshape(B, T, dims.heads, dims.head_dim)

@@ -36,8 +36,15 @@ kernel and the page table is a dense span bucket.
 Constraints: D=1280-class dims (D, 3D, 4D multiples of 640), B <= 24 (pad
 rows; kv_valid all-False marks dead rows; B <= 12 streams 64-slot kv blocks,
 13-24 use 32-slot blocks to halve the VMEM high-water mark), span S a
-multiple of 128, bf16 cache. Verified against `gpt2_decode_step` in
-tests/test_decode_kernel.py (interpret mode on CPU + device parity).
+multiple of 128, bf16 cache — or the flat int8 cache ("kvs" key): int8 k/v
+rows plus ONE packed bf16 scale row per position (k-scales lanes [0, H),
+v-scales [128, 128+H)) whose layout matches the kernel's per-head
+(B*BS, 128) score/prob tensors, so dequant folds into two existing
+elementwise multiplies (s128 *= ks; p3 *= vs before the PV expansion) with
+zero extra matmuls and 1.67x less cache DMA. The current token attends
+UNquantized (the XLA int8kv path round-trips it); beams require the bf16
+cache. Verified against `gpt2_decode_step` in tests/test_decode_kernel.py
+(interpret mode on CPU + device parity).
 """
 
 from __future__ import annotations
@@ -74,13 +81,19 @@ def _kernel(pos_ref, x_ref, ln1w_ref, ln1b_ref, ln2w_ref, ln2b_ref,
             sp2_ref, bp2_ref, starts_ref, e1_ref, e1t_ref,
             wqkv_ref, wproj_ref, wfc_ref, wp2_ref, ck_ref, cv_ref,
             *rest, L: int, B: int, D: int, F: int, H: int, S: int,
-            K: int = 1, BS: int = _BS):
-    # rest = [anc_ref (K>1 only)], outputs x3, scratch x6, sems x4
+            K: int = 1, BS: int = _BS, KVQ: bool = False):
+    # rest = [ckvs_ref (KVQ only)], [anc_ref (K>1 only)], outputs x3,
+    # scratch x6 (+sbuf), sems x4 (+ssem)
+    if KVQ:
+        ckvs_ref = rest[0]
+        rest = rest[1:]
     if K > 1:
         anc_ref = rest[0]
         rest = rest[1:]
     (xo_ref, kn_ref, vn_ref, xc_ref, qkv_ref, wbuf, pbuf, kbuf, vbuf,
      wsem, psem, ksem, vsem) = rest[:13]
+    if KVQ:
+        sbuf, ssem = rest[13], rest[14]
     l = pl.program_id(0)
     Dh = D // H
     nq, npj, nf = _nwb(D, F)
@@ -138,6 +151,10 @@ def _kernel(pos_ref, x_ref, ln1w_ref, ln1b_ref, ln2w_ref, ln2b_ref,
                                   kbuf.at[slot], ksem.at[slot]).start()
             pltpu.make_async_copy(cv_ref.at[li, :, pl.ds(pl.multiple_of(i * BS, 8), BS), :],
                                   vbuf.at[slot], vsem.at[slot]).start()
+            if KVQ:
+                pltpu.make_async_copy(
+                    ckvs_ref.at[li, :, pl.ds(pl.multiple_of(i * BS, 8), BS), :],
+                    sbuf.at[slot], ssem.at[slot]).start()
 
     # attention only iterates the LIVE blocks (slots <= pos), rounded up to
     # an even count so the two DMA slots keep their parity across layers
@@ -161,6 +178,10 @@ def _kernel(pos_ref, x_ref, ln1w_ref, ln1b_ref, ln2w_ref, ln2b_ref,
             pltpu.make_async_copy(
                 cv_ref.at[nxt_l, :, pl.ds(off, BS), :],
                 vbuf.at[slot], vsem.at[slot]).start()
+            if KVQ:
+                pltpu.make_async_copy(
+                    ckvs_ref.at[nxt_l, :, pl.ds(off, BS), :],
+                    sbuf.at[slot], ssem.at[slot]).start()
 
     # ---- prime the pipelines (first grid step only) -----------------------
     @pl.when(l == 0)
@@ -248,10 +269,20 @@ def _kernel(pos_ref, x_ref, ln1w_ref, ln1b_ref, ln2w_ref, ln2b_ref,
         def _():
             kc.wait()
             vc.wait()
+            if KVQ:
+                pltpu.make_async_copy(
+                    ckvs_ref.at[l, :, pl.ds(i * BS, BS), :], sbuf.at[slot],
+                    ssem.at[slot]).wait()
 
         if K == 1:
-            kb2 = kbuf[slot].reshape(B * BS, D)          # bf16
+            kb2 = kbuf[slot].reshape(B * BS, D)          # bf16 (int8 if KVQ)
             vb2 = vbuf[slot].reshape(B * BS, D)
+            if KVQ:
+                # int8 -> bf16 is exact; the per-(position, head) scales
+                # fold into the score/prob tensors below instead of
+                # expanding to lanes (which would cost a matmul per block)
+                kb2 = kb2.astype(jnp.bfloat16)
+                vb2 = vb2.astype(jnp.bfloat16)
         else:
             # Beam-ancestry K/V selection: the cache is UNORDERED (physical
             # row r always holds what beam slot r computed), and
@@ -290,6 +321,11 @@ def _kernel(pos_ref, x_ref, ln1w_ref, ln1b_ref, ln2w_ref, ln2b_ref,
 
         prod = kb2 * qexp                                 # bf16
         s128 = jnp.dot(prod, e1, preferred_element_type=jnp.float32)
+        if KVQ:
+            # true score = ks[row, h] * (q . kq): the packed k-scales'
+            # (B*BS, 128) column layout matches s128's head columns
+            sb = sbuf[slot].reshape(B * BS, 256)
+            s128 = s128 * sb[:, :128].astype(jnp.float32)
         s128 = jnp.where(valid, s128, neg)                # (B*BS, 128)
         s3 = s128.reshape(B, BS, 128)
         mb = jnp.maximum(m_all, jnp.max(s3, axis=1))      # (B, 128)
@@ -299,6 +335,10 @@ def _kernel(pos_ref, x_ref, ln1w_ref, ln1b_ref, ln2w_ref, ln2b_ref,
                        jnp.exp(s3 - mb[:, None, :]), 0.0)
         corr = jnp.exp(m_all - mb)                        # (B, 128)
         lb = l_all * corr + jnp.sum(p3, axis=1)
+        if KVQ:
+            # fold v-scales into the probs headed for the PV product (the
+            # softmax denominator above keeps the UNSCALED mass)
+            p3 = p3 * sbuf[slot][:, :, 128:].astype(jnp.float32)
         pexp = jnp.dot(p3.reshape(B * BS, 128).astype(jnp.bfloat16),
                        e1t.astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)
@@ -408,8 +448,11 @@ def fused_decode_step(params: Dict, x: jnp.ndarray, dims: GPT2Dims,
     assert S % (2 * bs) == 0 and S // bs >= 2, S  # even #blocks: slot
     # parity must line up across layers for the cross-layer kv prefetch
     assert "q" in h["attn"]["c_attn"], "fused_decode_step requires int8 params"
-    assert "ks" not in kv_cache, "fused_decode_step requires bf16 cache"
+    assert "ks" not in kv_cache, "fused_decode_step needs a FLAT cache (5D \
+int8 caches belong to the XLA path; flat int8 uses the 'kvs' key)"
     assert kv_cache["k"].ndim == 4, "fused_decode_step requires a flat cache"
+    kvq = "kvs" in kv_cache
+    assert not (kvq and group > 1), "int8 KV + beam ancestry not supported"
 
     ck = kv_cache["k"]
     cv = kv_cache["v"]
@@ -454,7 +497,7 @@ def fused_decode_step(params: Dict, x: jnp.ndarray, dims: GPT2Dims,
         assert B % group == 0, (B, group)
 
     kernel = functools.partial(_kernel, L=L, B=B, D=D, F=F, H=H, S=S,
-                               K=group, BS=bs)
+                               K=group, BS=bs, KVQ=kvq)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     full = lambda shape: pl.BlockSpec(shape, lambda l, *_: (0,) * len(shape),
                                       memory_space=pltpu.VMEM)
@@ -476,7 +519,7 @@ def fused_decode_step(params: Dict, x: jnp.ndarray, dims: GPT2Dims,
                 full((128, D)),                       # E1^T (f32)
                 any_spec, any_spec, any_spec, any_spec,   # weights
                 any_spec, any_spec,                   # cache k, v
-            ] + anc_specs,
+            ] + ([any_spec] if kvq else []) + anc_specs,  # packed kv scales
             out_specs=[
                 full((B, D)),
                 pl.BlockSpec((1, B, D), lambda l, *_: (l, 0, 0),
@@ -489,13 +532,17 @@ def fused_decode_step(params: Dict, x: jnp.ndarray, dims: GPT2Dims,
                 pltpu.VMEM((B, 3 * D), jnp.bfloat16),     # qkv
                 pltpu.VMEM((2, D, _BN), jnp.int8),        # w pool
                 pltpu.VMEM((2, _BN, D), jnp.int8),        # p pool
-                pltpu.VMEM((2, B, bs, D), jnp.bfloat16),  # k blocks
-                pltpu.VMEM((2, B, bs, D), jnp.bfloat16),  # v blocks
+                pltpu.VMEM((2, B, bs, D),
+                           jnp.int8 if kvq else jnp.bfloat16),  # k blocks
+                pltpu.VMEM((2, B, bs, D),
+                           jnp.int8 if kvq else jnp.bfloat16),  # v blocks
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
-            ] + anc_scratch,
+            ] + ([pltpu.VMEM((2, B, bs, 256), jnp.bfloat16),
+                  pltpu.SemaphoreType.DMA((2,))] if kvq else [])
+              + anc_scratch,
         ),
         out_shape=[
             jax.ShapeDtypeStruct((B, D), jnp.bfloat16),
@@ -507,14 +554,26 @@ def fused_decode_step(params: Dict, x: jnp.ndarray, dims: GPT2Dims,
       ln1w, ln1b, ln2w, ln2b, sqkv, bqkv, sproj, bproj, sfc, bfc, sp2, bp2,
       starts, e1b, e1t,
       h["attn"]["c_attn"]["q"], h["attn"]["c_proj"]["q"],
-      h["mlp"]["c_fc"]["q"], h["mlp"]["c_proj"]["q"], ck, cv, *anc_args)
+      h["mlp"]["c_fc"]["q"], h["mlp"]["c_proj"]["q"], ck, cv,
+      *([kv_cache["kvs"]] if kvq else []), *anc_args)
 
     new_cache = dict(kv_cache)
-    new_cache["k"] = jax.lax.dynamic_update_slice(
-        kv_cache["k"], k_new[:, :, None, :].astype(kv_cache["k"].dtype),
-        (0, 0, pos, 0))
-    new_cache["v"] = jax.lax.dynamic_update_slice(
-        kv_cache["v"], v_new[:, :, None, :].astype(kv_cache["v"].dtype),
-        (0, 0, pos, 0))
+    if kvq:
+        from indextts_tpu.models.gpt.gpt2 import kv_quantize_flat
+
+        kq, vq, kvs = kv_quantize_flat(k_new, v_new, H)
+        new_cache["k"] = jax.lax.dynamic_update_slice(
+            kv_cache["k"], kq[:, :, None, :], (0, 0, pos, 0))
+        new_cache["v"] = jax.lax.dynamic_update_slice(
+            kv_cache["v"], vq[:, :, None, :], (0, 0, pos, 0))
+        new_cache["kvs"] = jax.lax.dynamic_update_slice(
+            kv_cache["kvs"], kvs[:, :, None, :], (0, 0, pos, 0))
+    else:
+        new_cache["k"] = jax.lax.dynamic_update_slice(
+            kv_cache["k"], k_new[:, :, None, :].astype(kv_cache["k"].dtype),
+            (0, 0, pos, 0))
+        new_cache["v"] = jax.lax.dynamic_update_slice(
+            kv_cache["v"], v_new[:, :, None, :].astype(kv_cache["v"].dtype),
+            (0, 0, pos, 0))
     x_f = nn.layer_norm(params["ln_f"], x_out)
     return x_f, new_cache

@@ -293,3 +293,120 @@ def test_generate_adaptive_fused_span_growth(monkeypatch):
     assert toks.shape == (B, 10)
     # min_new_tokens guarantees at least 9 non-stop tokens per row
     assert np.all(np.asarray(lens) >= 9)
+
+
+def test_fused_decode_step_int8kv_parity():
+    """Flat int8 cache (packed bf16 scale rows, in-kernel folded dequant)
+    vs (a) the bf16-cache fused kernel — error bounded by int8 KV noise —
+    and (b) the XLA 5D int8kv path quantized from the same raw values.
+    Known divergences vs (b): bf16-rounded scales, and the fused path
+    attends the CURRENT token unquantized (the XLA path round-trips it)."""
+    from indextts_tpu.models.gpt.gpt2 import (_kv_quantize, kv_quantize_flat)
+
+    params, x, cache, mask, posv = _setup(B=4, S=128, pos=70)
+
+    ref_h, _ = fused_decode_step(params, x, DIMS, posv, _flat(cache), mask,
+                                 interpret=True)
+
+    flat = _flat(cache)
+    kq, vq, kvs = kv_quantize_flat(flat["k"], flat["v"], DIMS.heads)
+    got_h, got_cache = fused_decode_step(
+        params, x, DIMS, posv, {"k": kq, "v": vq, "kvs": kvs}, mask,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got_h, np.float32),
+                               np.asarray(ref_h, np.float32),
+                               rtol=0.08, atol=0.08)
+    # the written row at pos must be the quantized current k/v
+    assert got_cache["k"].dtype == jnp.int8
+    assert got_cache["kvs"].shape == (DIMS.layers, 4, 128, 256)
+
+    kq5, ks5 = _kv_quantize(cache["k"].reshape(DIMS.layers, 4, 128,
+                                               DIMS.heads, DIMS.head_dim))
+    vq5, vs5 = _kv_quantize(cache["v"].reshape(DIMS.layers, 4, 128,
+                                               DIMS.heads, DIMS.head_dim))
+    qc5 = {"k": kq5, "v": vq5, "ks": ks5, "vs": vs5}
+    ref2_h, _ = gpt2_decode_step(params, x, DIMS, posv, qc5, mask)
+    np.testing.assert_allclose(np.asarray(got_h, np.float32),
+                               np.asarray(ref2_h, np.float32),
+                               rtol=0.1, atol=0.1)
+
+
+def test_fused_decode_int8kv_multi_step_drift():
+    """10 decode steps, fused flat-int8 vs XLA 5D int8kv from the same
+    start: trajectories must stay close (both quantize each new row)."""
+    from indextts_tpu.models.gpt.gpt2 import _kv_quantize, kv_quantize_flat
+
+    params, x, cache, mask, posv = _setup(B=2, S=128, pos=40)
+    flat = _flat(cache)
+    kq, vq, kvs = kv_quantize_flat(flat["k"], flat["v"], DIMS.heads)
+    cache_f = {"k": kq, "v": vq, "kvs": kvs}
+    kq5, ks5 = _kv_quantize(cache["k"].reshape(DIMS.layers, 2, 128,
+                                               DIMS.heads, DIMS.head_dim))
+    vq5, vs5 = _kv_quantize(cache["v"].reshape(DIMS.layers, 2, 128,
+                                               DIMS.heads, DIMS.head_dim))
+    cache_x = {"k": kq5, "v": vq5, "ks": ks5, "vs": vs5}
+    mk = np.asarray(mask).copy()
+    nprng = np.random.default_rng(9)
+    for step in range(10):
+        pos = int(posv) + step
+        mk[:, pos] = True
+        m = jnp.asarray(mk)
+        x_s = jnp.asarray(nprng.normal(0, 1.0, size=(2, DIMS.dim)),
+                          jnp.bfloat16)
+        p = jnp.asarray(pos, jnp.int32)
+        f_h, cache_f = fused_decode_step(params, x_s, DIMS, p, cache_f, m,
+                                         interpret=True)
+        x_h, cache_x = gpt2_decode_step(params, x_s, DIMS, p, cache_x, m)
+        np.testing.assert_allclose(np.asarray(f_h, np.float32),
+                                   np.asarray(x_h, np.float32),
+                                   rtol=0.15, atol=0.15)
+
+
+def test_generate_fused_int8kv_runs(monkeypatch):
+    """generate() with kv_quant=True routes through the fused kernel with
+    the flat int8 cache (interpret mode): integration must run, be
+    deterministic, and share the prefill-driven first token with the
+    bf16-cache run."""
+    from indextts_tpu.config import ConditionModuleConfig, GPTConfig
+    from indextts_tpu.engine import decode as dec
+    from indextts_tpu.engine.decode import SamplingConfig
+    from indextts_tpu.models.gpt.unified_voice import init_unified_voice
+
+    cfg = GPTConfig(
+        layers=2, model_dim=640, heads=10, max_text_tokens=30,
+        max_mel_tokens=60, number_text_tokens=40, number_mel_codes=50,
+        start_mel_token=48, stop_mel_token=49,
+        condition_module=ConditionModuleConfig(
+            output_size=32, linear_units=48, attention_heads=2, num_blocks=1,
+            input_layer="linear", perceiver_mult=2),
+        emo_condition_module=ConditionModuleConfig(
+            output_size=32, linear_units=48, attention_heads=2, num_blocks=1,
+            input_layer="linear", perceiver_mult=2))
+    dims = GPT2Dims(cfg.layers, cfg.model_dim, cfg.heads)
+    params = init_unified_voice(InitRng(0), cfg)
+    params["gpt"] = quantize_gpt2_int8(params["gpt"])
+    rng = np.random.default_rng(3)
+    B, P = 2, 7
+    prefix = jnp.asarray(rng.normal(0, 0.3, (B, P, cfg.model_dim)),
+                         jnp.bfloat16)
+    mask = jnp.ones((B, P), bool).at[0, 0].set(False)
+    key = jax.random.PRNGKey(5)
+
+    monkeypatch.setenv("INDEXTTS_FUSED_DECODE", "interp")
+    assert dec._fused_decode_ok(params, dims, B, kv_quant=True)
+    assert not dec._fused_decode_ok(params, dims, B, kv_quant=True,
+                                    beam=True)
+    dec.generate.clear_cache()
+    sq = SamplingConfig(do_sample=False, kv_quant=True)
+    toks_q, lens_q = dec.generate(params, cfg, dims, prefix, mask, key,
+                                  max_new_tokens=4, sampling=sq)
+    toks_q2, _ = dec.generate(params, cfg, dims, prefix, mask, key,
+                              max_new_tokens=4, sampling=sq)
+    sb = SamplingConfig(do_sample=False)
+    toks_b, _ = dec.generate(params, cfg, dims, prefix, mask, key,
+                             max_new_tokens=4, sampling=sb)
+    dec.generate.clear_cache()
+    np.testing.assert_array_equal(np.asarray(toks_q), np.asarray(toks_q2))
+    np.testing.assert_array_equal(np.asarray(toks_q[:, 0]),
+                                  np.asarray(toks_b[:, 0]))
+    assert np.all(np.asarray(lens_q) >= 0)
