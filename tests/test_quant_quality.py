@@ -84,3 +84,27 @@ def test_int8_e2e_mcd(model_dir):
     d = mcd(outs[None], outs["int8"], sr=22050)
     assert np.isfinite(d)
     assert d <= 8.0, f"int8-vs-bf16 MCD {d:.2f} dB exceeds parity threshold"
+
+
+def test_int8kv_e2e_mcd(model_dir):
+    """Same-seed greedy synthesis with the int8 KV cache (weights int8 in
+    both runs): added KV-quantization noise stays within the 8 dB MCD
+    parity convention. Exercises the per-(position, head) quantize/dequant
+    chain end-to-end (XLA path here; the fused flat-int8 kernel is parity-
+    tested against this path in tests/test_decode_kernel.py)."""
+    from indextts_tpu.pipeline.infer_v2 import IndexTTS2
+    from indextts_tpu.utils.metrics import mcd
+
+    kw = dict(spk_audio_prompt=os.path.join(model_dir, "prompt.wav"),
+              text="hello world . the cat .", output_path=None,
+              max_mel_tokens=16, num_beams=1, do_sample=False,
+              max_text_tokens_per_segment=8, verbose=False)
+    outs = {}
+    for quant in ("int8", "int8kv"):
+        tts = IndexTTS2(cfg_path=None, model_dir=model_dir, cfg=tiny_config(),
+                        dtype=jnp.float32, quantization=quant)
+        sr, wav = tts.infer(**kw)
+        outs[quant] = wav.astype(np.float32)[:, 0] / 32768.0
+    d = mcd(outs["int8"], outs["int8kv"], sr=22050)
+    assert np.isfinite(d)
+    assert d <= 8.0, f"int8kv-vs-int8 MCD {d:.2f} dB exceeds parity threshold"
