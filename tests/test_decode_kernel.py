@@ -410,3 +410,41 @@ def test_generate_fused_int8kv_runs(monkeypatch):
     np.testing.assert_array_equal(np.asarray(toks_q[:, 0]),
                                   np.asarray(toks_b[:, 0]))
     assert np.all(np.asarray(lens_q) >= 0)
+
+
+def test_generate_adaptive_int8kv_span_growth(monkeypatch):
+    """generate_adaptive + kv_quant: the span-growth pad must extend all
+    three flat-int8 cache arrays (values AND the packed scale rows)."""
+    from indextts_tpu.config import ConditionModuleConfig, GPTConfig
+    from indextts_tpu.engine import decode as dec
+    from indextts_tpu.engine.decode import SamplingConfig
+    from indextts_tpu.models.gpt.unified_voice import init_unified_voice
+
+    cfg = GPTConfig(
+        layers=2, model_dim=640, heads=10, max_text_tokens=30,
+        max_mel_tokens=60, number_text_tokens=40, number_mel_codes=50,
+        start_mel_token=48, stop_mel_token=49,
+        condition_module=ConditionModuleConfig(
+            output_size=32, linear_units=48, attention_heads=2, num_blocks=1,
+            input_layer="linear", perceiver_mult=2),
+        emo_condition_module=ConditionModuleConfig(
+            output_size=32, linear_units=48, attention_heads=2, num_blocks=1,
+            input_layer="linear", perceiver_mult=2))
+    dims = GPT2Dims(cfg.layers, cfg.model_dim, cfg.heads)
+    params = init_unified_voice(InitRng(0), cfg)
+    params["gpt"] = quantize_gpt2_int8(params["gpt"])
+    rng = np.random.default_rng(7)
+    B, P = 2, 5
+    prefix = jnp.asarray(rng.normal(0, 0.3, (B, P, cfg.model_dim)),
+                         jnp.bfloat16)
+    mask = jnp.ones((B, P), bool)
+    key = jax.random.PRNGKey(11)
+    sampling = SamplingConfig(do_sample=False, min_new_tokens=9,
+                              kv_quant=True)
+
+    monkeypatch.setenv("INDEXTTS_FUSED_DECODE", "interp")
+    toks, lens = dec.generate_adaptive(params, cfg, dims, prefix, mask, key,
+                                       max_new_tokens=10, sampling=sampling,
+                                       spans=(4,))
+    assert toks.shape == (B, 10)
+    assert np.all(np.asarray(lens) >= 9)
