@@ -823,10 +823,38 @@ class IndexTTS2:
                         self._next_rng(), max_new_tokens=max_mel_tokens,
                         sampling=sampling, dtype=self.dtype)
             else:
-                batch_codes, batch_code_lens = generate_adaptive(
-                    self.gpt_params, self.cfg.gpt, self.gpt_dims, pe, pm,
-                    self._next_rng(), max_new_tokens=max_mel_tokens,
-                    sampling=sampling, dtype=self.dtype)
+                # sampling batches beyond the fused kernel's B<=24 cap
+                # decode in row chunks so every chunk stays on the kernel
+                # instead of the whole batch falling back to XLA (2-4x
+                # slower per token). Greedy chunked == unchunked exactly;
+                # sampled rows draw from per-chunk key streams.
+                B_rows = pe.shape[0]
+                chunk = (int(os.environ.get("INDEXTTS_DECODE_CHUNK", "0"))
+                         or 24)
+                if B_rows > chunk and self.mesh is None:
+                    # ONE _next_rng() split across chunks: the host rng
+                    # stream advances exactly as in the unchunked call, so
+                    # the downstream CFM noise (and greedy audio) match
+                    ngrp = -(-B_rows // chunk)
+                    keys = jax.random.split(self._next_rng(), ngrp)
+                    parts = [generate_adaptive(
+                        self.gpt_params, self.cfg.gpt, self.gpt_dims,
+                        pe[i:i + chunk], pm[i:i + chunk], keys[g],
+                        max_new_tokens=max_mel_tokens, sampling=sampling,
+                        dtype=self.dtype)
+                        for g, i in enumerate(range(0, B_rows, chunk))]
+                    width = max(p[0].shape[1] for p in parts)
+                    batch_codes = jnp.concatenate(
+                        [jnp.pad(p[0], ((0, 0), (0, width - p[0].shape[1])),
+                                 constant_values=self.cfg.gpt.stop_mel_token)
+                         for p in parts], 0)
+                    batch_code_lens = jnp.concatenate(
+                        [p[1] for p in parts], 0)
+                else:
+                    batch_codes, batch_code_lens = generate_adaptive(
+                        self.gpt_params, self.cfg.gpt, self.gpt_dims, pe, pm,
+                        self._next_rng(), max_new_tokens=max_mel_tokens,
+                        sampling=sampling, dtype=self.dtype)
             batch_code_lens = np.asarray(batch_code_lens)
             gpt_gen_time += time.perf_counter() - m_start
 

@@ -193,3 +193,22 @@ def test_beam_chunked_matches_unchunked(tts, model_dir, monkeypatch):
     sr_b, wav_b = tts.infer(**kw)
     assert sr_a == sr_b
     np.testing.assert_array_equal(wav_a, wav_b)
+
+
+def test_sampling_chunked_matches_unchunked(tts, model_dir, monkeypatch):
+    """Sampling-path row chunking (the B>24 fused-kernel-cap path) is
+    greedy-identical to the single batched call: rows are independent and
+    greedy decode consumes no randomness."""
+    import jax
+
+    kw = dict(spk_audio_prompt=os.path.join(model_dir, "prompt.wav"),
+              text="hello world . the cat . hello . world cat .",
+              output_path=None, max_mel_tokens=8, num_beams=1,
+              do_sample=False, max_text_tokens_per_segment=4, verbose=False)
+    tts._rng = jax.random.PRNGKey(3)
+    sr_a, wav_a = tts.infer(**kw)
+    monkeypatch.setenv("INDEXTTS_DECODE_CHUNK", "2")
+    tts._rng = jax.random.PRNGKey(3)
+    sr_b, wav_b = tts.infer(**kw)
+    assert sr_a == sr_b
+    np.testing.assert_array_equal(wav_a, wav_b)
