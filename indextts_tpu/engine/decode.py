@@ -67,11 +67,9 @@ def _fused_decode_ok(params: Params, dims: GPT2Dims, B: int,
     except (KeyError, TypeError):
         quantized = False
     # int8 KV rides the fused kernel too (flat int8 cache + packed scale
-    # rows, dequant folded into the in-VMEM score/prob tensors) — EXCEPT in
-    # beam mode, where the ancestry selection would have to permute int8
-    # values (Mosaic-risky); beams keep the bf16 cache.
-    if kv_quant and beam:
-        return False
+    # rows, dequant folded into the in-VMEM score/prob tensors); in beam
+    # mode the values are cast to bf16 (exact) before ancestry selection
+    # and the scale rows ride the same selection.
     return (quantized and B <= 24
             and dims.dim % 640 == 0 and (4 * dims.dim) % 640 == 0)
 
@@ -112,10 +110,10 @@ class SamplingConfig:
     # int8 KV cache (decode-side only; prefill attention stays exact).
     # On the FUSED kernel path this is a flat int8 cache with packed
     # per-(position, head) bf16 scale rows whose dequant folds into the
-    # in-VMEM score/prob tensors — 1.67x less cache DMA. On the XLA path
-    # it remains a memory knob (attention-side dequant outweighs the saved
-    # DMA there). Beam mode keeps the bf16 cache (ancestry selection on
-    # int8 values is not supported).
+    # in-VMEM score/prob tensors — 1.67x less cache DMA; beam ancestry
+    # composes (exact bf16 cast before selection, scale rows selected
+    # alongside). On the XLA path it remains a memory knob (attention-side
+    # dequant outweighs the saved DMA there).
     kv_quant: bool = False
 
 

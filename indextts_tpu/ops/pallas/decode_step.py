@@ -42,9 +42,11 @@ v-scales [128, 128+H)) whose layout matches the kernel's per-head
 (B*BS, 128) score/prob tensors, so dequant folds into two existing
 elementwise multiplies (s128 *= ks; p3 *= vs before the PV expansion) with
 zero extra matmuls and 1.67x less cache DMA. The current token attends
-UNquantized (the XLA int8kv path round-trips it); beams require the bf16
-cache. Verified against `gpt2_decode_step` in tests/test_decode_kernel.py
-(interpret mode on CPU + device parity).
+UNquantized (the XLA int8kv path round-trips it). Beam ancestry composes:
+values are cast int8->bf16 (exact) before the where-chain selection and
+the packed scale rows ride the same selection. Verified against
+`gpt2_decode_step` in tests/test_decode_kernel.py (interpret mode on CPU +
+device parity).
 """
 
 from __future__ import annotations
@@ -274,6 +276,7 @@ def _kernel(pos_ref, x_ref, ln1w_ref, ln1b_ref, ln2w_ref, ln2b_ref,
                     ckvs_ref.at[l, :, pl.ds(i * BS, BS), :], sbuf.at[slot],
                     ssem.at[slot]).wait()
 
+        sb2 = None
         if K == 1:
             kb2 = kbuf[slot].reshape(B * BS, D)          # bf16 (int8 if KVQ)
             vb2 = vbuf[slot].reshape(B * BS, D)
@@ -283,6 +286,7 @@ def _kernel(pos_ref, x_ref, ln1w_ref, ln1b_ref, ln2w_ref, ln2b_ref,
                 # expanding to lanes (which would cost a matmul per block)
                 kb2 = kb2.astype(jnp.bfloat16)
                 vb2 = vb2.astype(jnp.bfloat16)
+                sb2 = sbuf[slot].reshape(B * BS, 256)
         else:
             # Beam-ancestry K/V selection: the cache is UNORDERED (physical
             # row r always holds what beam slot r computed), and
@@ -293,6 +297,13 @@ def _kernel(pos_ref, x_ref, ln1w_ref, ln1b_ref, ln2w_ref, ln2b_ref,
             # gather cost (the per-step reorder the HF path pays in
             # `transformers_generation_utils.py:3325` via index_select).
             kb3, vb3 = kbuf[slot], vbuf[slot]             # (B, BS, D)
+            if KVQ:
+                # cast first (exact), select after; the packed scale rows
+                # ride the SAME ancestry selection so the folded dequant
+                # below sees each hypothesis's own scales
+                kb3 = kb3.astype(jnp.bfloat16)
+                vb3 = vb3.astype(jnp.bfloat16)
+                sb3 = sbuf[slot]                           # (B, BS, 256)
 
             def perm(buf, j):
                 """Rows remapped to in-group offset j, flat (B*BS, D)."""
@@ -307,10 +318,14 @@ def _kernel(pos_ref, x_ref, ln1w_ref, ln1b_ref, ln2w_ref, ln2b_ref,
             av = anc_ref[i].astype(jnp.float32)           # (B*BS, 1)
             kb2 = perm(kb3, K - 1)
             vb2 = perm(vb3, K - 1)
+            if KVQ:
+                sb2 = perm(sb3, K - 1)
             for j in range(K - 2, -1, -1):
                 mj = av == jnp.float32(j)
                 kb2 = jnp.where(mj, perm(kb3, j), kb2)
                 vb2 = jnp.where(mj, perm(vb3, j), vb2)
+                if KVQ:
+                    sb2 = jnp.where(mj, perm(sb3, j), sb2)
         # validity is the contiguous range [start_b, pos): decode masks are
         # always left-pad + generated-so-far. Slot `pos` itself enters via
         # the explicit current-token term below.
@@ -324,8 +339,7 @@ def _kernel(pos_ref, x_ref, ln1w_ref, ln1b_ref, ln2w_ref, ln2b_ref,
         if KVQ:
             # true score = ks[row, h] * (q . kq): the packed k-scales'
             # (B*BS, 128) column layout matches s128's head columns
-            sb = sbuf[slot].reshape(B * BS, 256)
-            s128 = s128 * sb[:, :128].astype(jnp.float32)
+            s128 = s128 * sb2[:, :128].astype(jnp.float32)
         s128 = jnp.where(valid, s128, neg)                # (B*BS, 128)
         s3 = s128.reshape(B, BS, 128)
         mb = jnp.maximum(m_all, jnp.max(s3, axis=1))      # (B, 128)
@@ -338,7 +352,7 @@ def _kernel(pos_ref, x_ref, ln1w_ref, ln1b_ref, ln2w_ref, ln2b_ref,
         if KVQ:
             # fold v-scales into the probs headed for the PV product (the
             # softmax denominator above keeps the UNSCALED mass)
-            p3 = p3 * sbuf[slot][:, :, 128:].astype(jnp.float32)
+            p3 = p3 * sb2[:, 128:].astype(jnp.float32).reshape(B, BS, 128)
         pexp = jnp.dot(p3.reshape(B * BS, 128).astype(jnp.bfloat16),
                        e1t.astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)
@@ -452,7 +466,6 @@ def fused_decode_step(params: Dict, x: jnp.ndarray, dims: GPT2Dims,
 int8 caches belong to the XLA path; flat int8 uses the 'kvs' key)"
     assert kv_cache["k"].ndim == 4, "fused_decode_step requires a flat cache"
     kvq = "kvs" in kv_cache
-    assert not (kvq and group > 1), "int8 KV + beam ancestry not supported"
 
     ck = kv_cache["k"]
     cv = kv_cache["v"]

@@ -394,8 +394,9 @@ def test_generate_fused_int8kv_runs(monkeypatch):
 
     monkeypatch.setenv("INDEXTTS_FUSED_DECODE", "interp")
     assert dec._fused_decode_ok(params, dims, B, kv_quant=True)
-    assert not dec._fused_decode_ok(params, dims, B, kv_quant=True,
-                                    beam=True)
+    # beam + int8kv composes too (ancestry selects bf16-cast values and
+    # scale rows together)
+    assert dec._fused_decode_ok(params, dims, B, kv_quant=True, beam=True)
     dec.generate.clear_cache()
     sq = SamplingConfig(do_sample=False, kv_quant=True)
     toks_q, lens_q = dec.generate(params, cfg, dims, prefix, mask, key,
@@ -448,3 +449,35 @@ def test_generate_adaptive_int8kv_span_growth(monkeypatch):
                                        spans=(4,))
     assert toks.shape == (B, 10)
     assert np.all(np.asarray(lens) >= 9)
+
+
+def test_fused_decode_step_anc_int8kv_parity():
+    """Beam ancestry + int8 KV: selection on bf16-cast values with the
+    packed scale rows riding the same selection must be BIT-identical to
+    running the KVQ kernel on a physically ancestry-gathered int8 cache."""
+    from indextts_tpu.engine.beam import _anc_flat
+    from indextts_tpu.models.gpt.gpt2 import kv_quantize_flat
+
+    K, B, S, pos = 2, 4, 128, 70
+    params, x, cache, mask, posv = _setup(B=B, S=S, pos=pos)
+    flat = _flat(cache)
+    kq, vq, kvs = kv_quantize_flat(flat["k"], flat["v"], DIMS.heads)
+    qflat = {"k": kq, "v": vq, "kvs": kvs}
+    nprng = np.random.default_rng(42)
+    anc = nprng.integers(0, K, size=(B, S)).astype(np.int32)
+    idx = (np.arange(B)[:, None] // K) * K + anc
+    gathered = {kk: jnp.asarray(np.asarray(v)[:, idx, np.arange(S), :])
+                for kk, v in qflat.items()}
+
+    ref_h, ref_cache = fused_decode_step(params, x, DIMS, posv, gathered,
+                                         mask, interpret=True)
+    got_h, got_cache = fused_decode_step(params, x, DIMS, posv, qflat, mask,
+                                         interpret=True,
+                                         anc=_anc_flat(jnp.asarray(anc), S),
+                                         group=K)
+    np.testing.assert_array_equal(np.asarray(got_h, np.float32),
+                                  np.asarray(ref_h, np.float32))
+    for key in ("k", "v", "kvs"):
+        np.testing.assert_array_equal(
+            np.asarray(got_cache[key][:, :, pos], np.float32),
+            np.asarray(ref_cache[key][:, :, pos], np.float32))
