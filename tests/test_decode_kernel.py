@@ -481,3 +481,40 @@ def test_fused_decode_step_anc_int8kv_parity():
         np.testing.assert_array_equal(
             np.asarray(got_cache[key][:, :, pos], np.float32),
             np.asarray(ref_cache[key][:, :, pos], np.float32))
+
+
+def test_beam_fused_int8kv_runs(monkeypatch):
+    """generate_beam + kv_quant routes through the fused kernel with the
+    flat int8 cache and in-kernel ancestry (interpret mode)."""
+    from indextts_tpu.config import ConditionModuleConfig, GPTConfig
+    from indextts_tpu.engine import beam as bm
+    from indextts_tpu.engine.decode import SamplingConfig
+    from indextts_tpu.models.gpt.unified_voice import init_unified_voice
+
+    cfg = GPTConfig(
+        layers=2, model_dim=640, heads=10, max_text_tokens=30,
+        max_mel_tokens=60, number_text_tokens=40, number_mel_codes=50,
+        start_mel_token=48, stop_mel_token=49,
+        condition_module=ConditionModuleConfig(
+            output_size=32, linear_units=48, attention_heads=2, num_blocks=1,
+            input_layer="linear", perceiver_mult=2),
+        emo_condition_module=ConditionModuleConfig(
+            output_size=32, linear_units=48, attention_heads=2, num_blocks=1,
+            input_layer="linear", perceiver_mult=2))
+    dims = GPT2Dims(cfg.layers, cfg.model_dim, cfg.heads)
+    params = init_unified_voice(InitRng(0), cfg)
+    params["gpt"] = quantize_gpt2_int8(params["gpt"])
+    rng = np.random.default_rng(3)
+    B, P = 1, 7
+    prefix = jnp.asarray(rng.normal(0, 0.3, (B, P, cfg.model_dim)),
+                         jnp.bfloat16)
+    mask = jnp.ones((B, P), bool)
+    key = jax.random.PRNGKey(5)
+    sampling = SamplingConfig(do_sample=False, num_beams=2, kv_quant=True)
+
+    monkeypatch.setenv("INDEXTTS_FUSED_DECODE", "interp")
+    toks, lens = bm.generate_beam(params, cfg, dims, prefix, mask, key,
+                                  max_new_tokens=4, sampling=sampling)
+    assert toks.shape == (B, 4)
+    assert np.all(np.asarray(lens) >= 0)
+    assert np.all((np.asarray(toks) >= 0) & (np.asarray(toks) < 50))
