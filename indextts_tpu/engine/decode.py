@@ -63,7 +63,8 @@ def _fused_decode_ok(params: Params, dims: GPT2Dims, B: int,
     if flag != "interp" and jax.default_backend() not in ("tpu", "axon"):
         return False
     try:
-        quantized = "q" in params["gpt"]["h"]["attn"]["c_attn"]
+        ca = params["gpt"]["h"]["attn"]["c_attn"]
+        quantized = "q" in ca or "q4" in ca
     except (KeyError, TypeError):
         quantized = False
     # int8 KV rides the fused kernel too (flat int8 cache + packed scale

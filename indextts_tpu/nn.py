@@ -97,6 +97,13 @@ def dense(p: Params, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
         # dequant fuses into the matmul, per-out-channel scale applies after
         y = jnp.dot(x, p["q"].astype(dtype), preferred_element_type=jnp.float32)
         y = y * p["scale"].astype(jnp.float32)
+    elif "q4" in p:
+        # weight-only int4 (two values per byte): nibble-unpack on the fly.
+        # The hot decode loop unpacks inside the fused Pallas kernel; this
+        # XLA form serves prefill and the fallback path (amortized there).
+        w = unpack_int4(p["q4"]).astype(dtype)
+        y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+        y = y * p["scale"].astype(jnp.float32)
     else:
         y = jnp.dot(x, p["kernel"].astype(dtype), preferred_element_type=jnp.float32)
     if "bias" in p:
@@ -116,6 +123,54 @@ def quantize_dense_int8(p: Params) -> Params:
     if "bias" in p:
         out["bias"] = p["bias"]
     return out
+
+
+def _int4_halfspan(half_k: int) -> int:
+    """Rows are packed in groups of 2h originals (lo nibbles = the group's
+    first h rows, hi nibbles = its last h). h = 320 keeps every 640-row
+    chunk self-contained, which is exactly the fused decode kernel's weight
+    DMA granularity (`ops/pallas/decode_step._BN`); shapes not divisible by
+    640 fall back to one global group (XLA-path-only sizes)."""
+    return 320 if half_k % 320 == 0 else half_k
+
+
+def quantize_dense_int4(p: Params) -> Params:
+    """Per-output-channel symmetric int4 (range [-7, 7]) of a dense kernel,
+    two values packed per int8 byte along the contraction axis.
+
+    Halves the decode loop's weight traffic AGAIN vs int8 (the loop is
+    HBM-bound on weight reads); the nibble unpack runs on the VPU inside
+    the fused decode kernel. Call on HOST numpy arrays before device_put
+    (same layout reasoning as `quantize_dense_int8`)."""
+    if "kernel" not in p:
+        return p
+    w = np.asarray(p["kernel"], np.float32)
+    scale = np.maximum(np.max(np.abs(w), axis=-2, keepdims=True), 1e-8) / 7.0
+    q = np.clip(np.round(w / scale), -7, 7).astype(np.int8)
+    K, N = w.shape[-2], w.shape[-1]
+    assert K % 2 == 0, K
+    h = _int4_halfspan(K // 2)
+    v = q.reshape(*w.shape[:-2], K // (2 * h), 2, h, N)
+    lo, hi = v[..., 0, :, :], v[..., 1, :, :]
+    packed = ((hi << 4) | (lo & np.int8(0xF))).astype(np.int8)
+    packed = packed.reshape(*w.shape[:-2], K // 2, N)
+    out = {"q4": packed, "scale": scale.astype(np.float32)}
+    if "bias" in p:
+        out["bias"] = p["bias"]
+    return out
+
+
+def unpack_int4(q4: jnp.ndarray) -> jnp.ndarray:
+    """Packed (..., K/2, N) int8 -> (..., K, N) int8 values in [-7, 7],
+    natural row order (inverse of `quantize_dense_int4`'s packing)."""
+    half, N = q4.shape[-2], q4.shape[-1]
+    h = _int4_halfspan(half)
+    v = q4.reshape(*q4.shape[:-2], half // h, h, N)
+    hi = jax.lax.shift_right_arithmetic(v, jnp.int8(4))
+    lo = jax.lax.shift_right_arithmetic(
+        jax.lax.shift_left(v, jnp.int8(4)), jnp.int8(4))
+    u = jnp.stack([lo, hi], axis=-3)          # (..., G, 2, h, N)
+    return u.reshape(*q4.shape[:-2], 2 * half, N)
 
 
 def embedding_init(rng: InitRng, num: int, dim: int, std: float = 0.02) -> Params:

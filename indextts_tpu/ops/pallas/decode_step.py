@@ -83,7 +83,8 @@ def _kernel(pos_ref, x_ref, ln1w_ref, ln1b_ref, ln2w_ref, ln2b_ref,
             sp2_ref, bp2_ref, starts_ref, e1_ref, e1t_ref,
             wqkv_ref, wproj_ref, wfc_ref, wp2_ref, ck_ref, cv_ref,
             *rest, L: int, B: int, D: int, F: int, H: int, S: int,
-            K: int = 1, BS: int = _BS, KVQ: bool = False):
+            K: int = 1, BS: int = _BS, KVQ: bool = False,
+            W4: bool = False, W4F: str = "shift"):
     # rest = [ckvs_ref (KVQ only)], [anc_ref (K>1 only)], outputs x3,
     # scratch x6 (+sbuf), sems x4 (+ssem)
     if KVQ:
@@ -129,8 +130,38 @@ def _kernel(pos_ref, x_ref, ln1w_ref, ln1b_ref, ln2w_ref, ln2b_ref,
             def _():
                 w_start(l + 1, j + 2 - nw, slot)
 
+    def unpack4(p):
+        """Nibble-unpack a packed int4 weight block (R, N) -> (2R, N) bf16.
+
+        Packing (`nn.quantize_dense_int4`): original rows in groups of 2h
+        (h = 320 when R % 320 == 0, else R); within a group, lo nibbles are
+        its first h rows, hi nibbles its last h. All slices are static and
+        320-row (8-aligned sublane) so the concat lowers. Two formulations
+        (probed on device, see tools/probe_mosaic_int4.py): int8 arithmetic
+        shifts, or f32 floor-divide for targets that reject int8 shifts."""
+        R = p.shape[0]
+        h = 320 if R % 320 == 0 else R
+        parts = []
+        for s0 in range(0, R, h):
+            blk = p[s0:s0 + h]
+            if W4F == "f32":
+                pf = blk.astype(jnp.float32)
+                hi = jnp.floor(pf * 0.0625)
+                lo = pf - 16.0 * hi
+                lo = lo - 16.0 * (lo >= 8.0).astype(jnp.float32)
+                parts += [lo.astype(jnp.bfloat16), hi.astype(jnp.bfloat16)]
+            else:
+                hi = jax.lax.shift_right_arithmetic(blk, jnp.int8(4))
+                lo = jax.lax.shift_right_arithmetic(
+                    jax.lax.shift_left(blk, jnp.int8(4)), jnp.int8(4))
+                parts += [lo.astype(jnp.bfloat16), hi.astype(jnp.bfloat16)]
+        return jnp.concatenate(parts, 0) if len(parts) > 1 else parts[0]
+
+    # p2 pool rows per DMA block (packed int4 streams half the rows)
+    p2r = _BN // 2 if W4 else _BN
+
     def p_start(li, j, slot):
-        pltpu.make_async_copy(wp2_ref.at[li, pl.ds(j * _BN, _BN), :],
+        pltpu.make_async_copy(wp2_ref.at[li, pl.ds(j * p2r, p2r), :],
                               pbuf.at[slot], psem.at[slot]).start()
 
     def p_next(j):
@@ -210,7 +241,7 @@ def _kernel(pos_ref, x_ref, ln1w_ref, ln1b_ref, ln2w_ref, ln2b_ref,
         slot = j % 2
         pltpu.make_async_copy(w_src(l, j), wbuf.at[slot],
                               wsem.at[slot]).wait()
-        wv = wbuf[slot].astype(jnp.bfloat16)
+        wv = unpack4(wbuf[slot]) if W4 else wbuf[slot].astype(jnp.bfloat16)
         acc = jnp.dot(xin, wv, preferred_element_type=jnp.float32)
         w_next(j)
         return acc
@@ -412,9 +443,9 @@ def _kernel(pos_ref, x_ref, ln1w_ref, ln1b_ref, ln2w_ref, ln2b_ref,
     acc2 = jnp.zeros((B, D), jnp.float32)
     for j in range(np2):
         slot = j % 2
-        pltpu.make_async_copy(wp2_ref.at[l, pl.ds(j * _BN, _BN), :],
+        pltpu.make_async_copy(wp2_ref.at[l, pl.ds(j * p2r, p2r), :],
                               pbuf.at[slot], psem.at[slot]).wait()
-        wv = pbuf[slot].astype(jnp.bfloat16)
+        wv = unpack4(pbuf[slot]) if W4 else pbuf[slot].astype(jnp.bfloat16)
         acc2 = acc2 + jnp.dot(hs[j], wv, preferred_element_type=jnp.float32)
         p_next(j)
     acc2 = acc2 * sp2_ref[0, 0] + bp2_ref[0, 0]
@@ -424,13 +455,15 @@ def _kernel(pos_ref, x_ref, ln1w_ref, ln1b_ref, ln2w_ref, ln2b_ref,
     xo_ref[...] = x
 
 
-@functools.partial(jax.jit, static_argnames=("dims", "interpret", "group"))
+@functools.partial(jax.jit,
+                   static_argnames=("dims", "interpret", "group", "w4f"))
 def fused_decode_step(params: Dict, x: jnp.ndarray, dims: GPT2Dims,
                       pos: jnp.ndarray, kv_cache: Dict,
                       kv_valid: jnp.ndarray,
                       interpret: bool = False,
                       anc: jnp.ndarray = None,
-                      group: int = 1) -> Tuple[jnp.ndarray, Dict]:
+                      group: int = 1,
+                      w4f: str = None) -> Tuple[jnp.ndarray, Dict]:
     """Drop-in for `gpt2_decode_step` on int8-quantized params + bf16 cache.
 
     x: (B, D) current-token embeddings; pos: scalar write index; kv_cache:
@@ -449,10 +482,14 @@ def fused_decode_step(params: Dict, x: jnp.ndarray, dims: GPT2Dims,
     """
     from indextts_tpu import nn
 
+    import os
+
     L, D, H = dims.layers, dims.dim, dims.heads
     B = x.shape[0]
     h = params["h"]
-    F = h["mlp"]["c_fc"]["q"].shape[-1]
+    w4 = "q4" in h["attn"]["c_attn"]
+    wkey = "q4" if w4 else "q"
+    F = h["mlp"]["c_fc"][wkey].shape[-1]
     S = kv_cache["k"].shape[2]
     # KV stream block: 64 slots up to B=12; 32 above (halves the kv-slot and
     # f32-temporary VMEM high-water mark so B<=24 fits the 16 MB scope —
@@ -461,7 +498,8 @@ def fused_decode_step(params: Dict, x: jnp.ndarray, dims: GPT2Dims,
     assert D % _BN == 0 and (3 * D) % _BN == 0 and F % _BN == 0, (D, F)
     assert S % (2 * bs) == 0 and S // bs >= 2, S  # even #blocks: slot
     # parity must line up across layers for the cross-layer kv prefetch
-    assert "q" in h["attn"]["c_attn"], "fused_decode_step requires int8 params"
+    assert wkey in h["attn"]["c_attn"], \
+        "fused_decode_step requires int8/int4 params"
     assert "ks" not in kv_cache, "fused_decode_step needs a FLAT cache (5D \
 int8 caches belong to the XLA path; flat int8 uses the 'kvs' key)"
     assert kv_cache["k"].ndim == 4, "fused_decode_step requires a flat cache"
@@ -509,8 +547,9 @@ int8 caches belong to the XLA path; flat int8 uses the 'kvs' key)"
             anc if anc is None else anc.shape, (S // bs, B * bs, 1))
         assert B % group == 0, (B, group)
 
-    kernel = functools.partial(_kernel, L=L, B=B, D=D, F=F, H=H, S=S,
-                               K=group, BS=bs, KVQ=kvq)
+    kernel = functools.partial(
+        _kernel, L=L, B=B, D=D, F=F, H=H, S=S, K=group, BS=bs, KVQ=kvq,
+        W4=w4, W4F=w4f or os.environ.get("INDEXTTS_INT4_UNPACK", "shift"))
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     full = lambda shape: pl.BlockSpec(shape, lambda l, *_: (0,) * len(shape),
                                       memory_space=pltpu.VMEM)
@@ -543,8 +582,8 @@ int8 caches belong to the XLA path; flat int8 uses the 'kvs' key)"
             scratch_shapes=[
                 pltpu.VMEM((B, D), jnp.bfloat16),         # x carry
                 pltpu.VMEM((B, 3 * D), jnp.bfloat16),     # qkv
-                pltpu.VMEM((2, D, _BN), jnp.int8),        # w pool
-                pltpu.VMEM((2, _BN, D), jnp.int8),        # p pool
+                pltpu.VMEM((2, D // 2 if w4 else D, _BN), jnp.int8),  # w pool
+                pltpu.VMEM((2, _BN // 2 if w4 else _BN, D), jnp.int8),  # p pool
                 pltpu.VMEM((2, B, bs, D),
                            jnp.int8 if kvq else jnp.bfloat16),  # k blocks
                 pltpu.VMEM((2, B, bs, D),
@@ -566,8 +605,8 @@ int8 caches belong to the XLA path; flat int8 uses the 'kvs' key)"
     )(jnp.reshape(pos, (1,)).astype(jnp.int32), x.astype(jnp.bfloat16),
       ln1w, ln1b, ln2w, ln2b, sqkv, bqkv, sproj, bproj, sfc, bfc, sp2, bp2,
       starts, e1b, e1t,
-      h["attn"]["c_attn"]["q"], h["attn"]["c_proj"]["q"],
-      h["mlp"]["c_fc"]["q"], h["mlp"]["c_proj"]["q"], ck, cv,
+      h["attn"]["c_attn"][wkey], h["attn"]["c_proj"][wkey],
+      h["mlp"]["c_fc"][wkey], h["mlp"]["c_proj"][wkey], ck, cv,
       *([kv_cache["kvs"]] if kvq else []), *anc_args)
 
     new_cache = dict(kv_cache)

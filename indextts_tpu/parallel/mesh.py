@@ -92,11 +92,14 @@ def _spec_for_path(path: str, leaf) -> P:
     # shaped like the bias — shard them the same way.
     if ".h." in path or path.startswith("h."):
         if "c_attn" in path or "c_fc" in path:
-            if path.endswith(("kernel", "q")) and ndim == 3:
+            if path.endswith(("kernel", "q", "q4")) and ndim == 3:
                 return spec(None, None, "tp")
             if path.endswith(("bias", "scale")) and ndim == 2:
                 return spec(None, "tp")
-        if "c_proj" in path and path.endswith(("kernel", "q")) and ndim == 3:
+        if "c_proj" in path and path.endswith(("kernel", "q", "q4")) and ndim == 3:
+            # int4 "q4" packs contraction rows in 640-original-row groups;
+            # tp shards at multiples of 320 packed rows, so every shard
+            # holds whole groups and unpacks independently.
             return spec(None, "tp", None)
         return spec()
     # DiT layers (scan-stacked: (L, in, out) kernels; unstacked 2D kept for

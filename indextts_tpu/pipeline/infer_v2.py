@@ -294,6 +294,15 @@ class IndexTTS2:
                 tree = dict(tree)
                 tree["gpt"] = quantize_gpt2_int8(tree["gpt"])
                 print(">> GPT decoder weights quantized to int8 (weight-only)")
+            elif name == "gpt_params" and self.quantization in ("int4",
+                                                                "int4kv"):
+                # weight-only int4 (nibble-packed): halves decode weight DMA
+                # again vs int8; unpack runs inside the fused decode kernel
+                from indextts_tpu.models.gpt.gpt2 import quantize_gpt2_int4
+
+                tree = dict(tree)
+                tree["gpt"] = quantize_gpt2_int4(tree["gpt"])
+                print(">> GPT decoder weights quantized to int4 (weight-only)")
             setattr(self, name,
                     put(tree, tp_shard=name in ("gpt_params", "s2mel_params")))
         self.campplus_params = put(nn.cast_tree(self.campplus_params, jnp.float32))
@@ -744,7 +753,7 @@ class IndexTTS2:
             typical_sampling=bool(typical_sampling),
             typical_mass=float(typical_mass),
             min_new_tokens=int(min_new_tokens),
-            kv_quant=self.quantization == "int8kv")
+            kv_quant=self.quantization in ("int8kv", "int4kv"))
 
         wavs = []
         gpt_gen_time = gpt_forward_time = s2mel_time = bigvgan_time = 0.0

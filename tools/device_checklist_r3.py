@@ -12,12 +12,18 @@ sys.path.insert(0, "/root/repo/tools")
 
 
 def main():
+    import bench_decode_int4
     import bench_decode_int8kv
     import probe_mosaic_int4
     import probe_wavenet_conv
 
     print("=== int8kv decode A/B ===", flush=True)
     bench_decode_int8kv.main()
+    print("=== int4 weights decode A/B ===", flush=True)
+    try:
+        bench_decode_int4.main()
+    except Exception as e:
+        print(f"int4 decode A/B died: {e}", flush=True)
     print("=== mosaic int4 unpack probe ===", flush=True)
     try:
         probe_mosaic_int4.main()
