@@ -143,6 +143,28 @@ def test_int4_e2e_mcd(model_dir):
     assert d <= 8.0, f"int4-vs-bf16 MCD {d:.2f} dB exceeds parity threshold"
 
 
+def test_int4kv_e2e_mcd(model_dir):
+    """quantization="int4kv" (int4 weights + int8 KV cache, the maximum-
+    compression serving point): same-seed greedy synthesis stays within the
+    8 dB MCD parity convention vs plain int4."""
+    from indextts_tpu.pipeline.infer_v2 import IndexTTS2
+    from indextts_tpu.utils.metrics import mcd
+
+    kw = dict(spk_audio_prompt=os.path.join(model_dir, "prompt.wav"),
+              text="hello world . the cat .", output_path=None,
+              max_mel_tokens=16, num_beams=1, do_sample=False,
+              max_text_tokens_per_segment=8, verbose=False)
+    outs = {}
+    for quant in ("int4", "int4kv"):
+        tts = IndexTTS2(cfg_path=None, model_dir=model_dir, cfg=tiny_config(),
+                        dtype=jnp.float32, quantization=quant)
+        sr, wav = tts.infer(**kw)
+        outs[quant] = wav.astype(np.float32)[:, 0] / 32768.0
+    d = mcd(outs["int4"], outs["int4kv"], sr=22050)
+    assert np.isfinite(d)
+    assert d <= 8.0, f"int4kv-vs-int4 MCD {d:.2f} dB exceeds parity threshold"
+
+
 def test_int8kv_e2e_mcd(model_dir):
     """Same-seed greedy synthesis with the int8 KV cache (weights int8 in
     both runs): added KV-quantization noise stays within the 8 dB MCD

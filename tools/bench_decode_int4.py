@@ -83,7 +83,9 @@ def main():
               f"({STEPS} steps in-scan, min of 3)", flush=True)
         return best / STEPS
 
-    for B, S in ((4, 512), (4, 1024), (8, 512)):
+    # (1, 640) = single-segment decode, where weights are ~all of the DMA
+    # and the int4 win (if the unpack is cheap) is largest
+    for B, S in ((1, 640), (4, 512), (4, 1024), (8, 512)):
         a = run(params8, B, S, "int8")
         b = run(params4, B, S, "int4/shift", w4f="shift")
         c = run(params4, B, S, "int4/f32", w4f="f32")
