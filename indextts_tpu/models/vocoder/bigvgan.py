@@ -84,6 +84,15 @@ def _res_conv(p: Params, x: jnp.ndarray, ks: int, d: int) -> jnp.ndarray:
 
     flag = os.environ.get("INDEXTTS_FOLDED_CONV", "0")
     B, T, C = x.shape
+    mm = os.environ.get("INDEXTTS_MATMUL_CONV", "0")
+    if C >= 256 and mm != "0" and (mm == "force"
+                                   or jax.default_backend() in ("tpu", "axon")):
+        # wide stages: same conv as k shifted full-lane matmuls (f=1 fold) —
+        # XLA's NWC conv lowering measured 1.6-3x slower than plain dots at
+        # these shapes (tools/bench_bigvgan_ops.py, /tmp/bvops3 probes)
+        from indextts_tpu.ops.fold_conv import fold_conv1d
+
+        return fold_conv1d(p, x, 1, dilation=d, padding=_get_padding(ks, d))
     if d == 1 and flag != "0" and (flag == "force"
                                    or jax.default_backend() in ("tpu", "axon")):
         from indextts_tpu.ops.fold_conv import fold_conv1d, fold_factor
@@ -172,6 +181,84 @@ def _amp_stage_grouped(blocks, h: BigVGANConfig, x: jnp.ndarray,
     return xs / n
 
 
+def _mask_folded(xf: jnp.ndarray, lengths: Optional[jnp.ndarray], f: int,
+                 C: int) -> jnp.ndarray:
+    """Valid-length mask in the folded (B, T/f, f*C) layout: element
+    (r, lane) holds time r*f + lane//C."""
+    if lengths is None:
+        return xf
+    R, fC = xf.shape[1], xf.shape[2]
+    t = (jnp.arange(R, dtype=jnp.int32)[:, None] * f
+         + jnp.arange(fC, dtype=jnp.int32)[None, :] // C)
+    return jnp.where(t[None] < lengths[:, None, None], xf, 0.0)
+
+
+def _amp_stage_folded(blocks, h: BigVGANConfig, x: jnp.ndarray,
+                      lengths: Optional[jnp.ndarray],
+                      interpret: bool = False) -> jnp.ndarray:
+    """One upsample stage's MRF (mean of AMPBlock1 resblocks) carried
+    END-TO-END in the time-folded (B, T/f, f*C) layout.
+
+    Third attempt at the narrow-stage conv problem, built on the round-3
+    probe receipts (docs/KERNELS.md): each narrow conv costs a flat
+    ~4 ms/op — bound by the 128-lane-padded (B, T, C<128) layout, not
+    FLOPs — and per-op folding wins 1.24-1.36x, but BOTH per-op
+    integrations (folded convs, grouped MRF) lost whole-model because every
+    op boundary paid a fold/unfold repack (36 per stage). Here the stage
+    folds ONCE on entry and unfolds ONCE on exit: convs run as shifted
+    full-lane matmuls (`fold_conv1d_prefolded`), the anti-aliased snake
+    uses the prefolded Pallas entry, and masks/residuals are folded
+    elementwise — no intermediate repack anywhere.
+
+    Exact restructure of `mean(_amp_block_j(x))` (zero rows in the folded
+    domain == zero time padding; tests/test_fold_conv.py).
+    """
+    from indextts_tpu.ops.fold_conv import fold_conv1d_prefolded
+    from indextts_tpu.ops.snake import antialias_activation_prefolded
+
+    B, T, C = x.shape
+    f = 384 // C
+    R = T // f
+    xf0 = x.reshape(B, R, f * C)
+
+    def aa(v, act):
+        return antialias_activation_prefolded(
+            v, act["alpha"], act.get("beta"), f, C, lengths,
+            h.snake_logscale, interpret=interpret)
+
+    acc = None
+    for bp, ks, dils in zip(blocks, h.resblock_kernel_sizes,
+                            h.resblock_dilation_sizes):
+        xb = xf0
+        for j, d in enumerate(dils):
+            xt = aa(xb, bp["acts"][2 * j])
+            xt = _mask_folded(xt, lengths, f, C)
+            xt = fold_conv1d_prefolded(bp["convs1"][j], xt, f, C, dilation=d,
+                                       padding=_get_padding(ks, d))
+            xt = _mask_folded(xt, lengths, f, C)
+            xt = aa(xt, bp["acts"][2 * j + 1])
+            xt = _mask_folded(xt, lengths, f, C)
+            xt = fold_conv1d_prefolded(bp["convs2"][j], xt, f, C, dilation=1,
+                                       padding=_get_padding(ks, 1))
+            xb = xb + xt
+            xb = _mask_folded(xb, lengths, f, C)
+        acc = xb if acc is None else acc + xb
+    return (acc / len(blocks)).reshape(B, T, C)
+
+
+def _use_stage_folded(h: BigVGANConfig, C: int, T: int, B: int) -> bool:
+    """Stage-carried folded MRF dispatch — opt-in until device-validated
+    (INDEXTTS_STAGE_FOLDED=1 on TPU; =force anywhere, for tests)."""
+    import os
+
+    flag = os.environ.get("INDEXTTS_STAGE_FOLDED", "0")
+    if flag == "0" or C not in (24, 48, 96, 192) or T % (384 // C):
+        return False
+    if flag == "force":
+        return True
+    return jax.default_backend() in ("tpu", "axon") and B in (1, 2, 4, 8)
+
+
 def _use_grouped_mrf(h: BigVGANConfig, C: int) -> bool:
     """Grouped-MRF dispatch — OPT-IN (INDEXTTS_GROUPED_MRF=1; =force
     off-TPU), OFF by default: another honest negative like the time-folded
@@ -208,7 +295,10 @@ def bigvgan_forward(p: Params, h: BigVGANConfig, mel: jnp.ndarray,
         if lens is not None:
             lens = lens * u
         x = _mask(x, lens)
-        if _use_grouped_mrf(h, x.shape[-1]):
+        if _use_stage_folded(h, x.shape[-1], x.shape[1], x.shape[0]):
+            blocks = p["resblocks"][i * num_kernels:(i + 1) * num_kernels]
+            x = _amp_stage_folded(blocks, h, x, lens)
+        elif _use_grouped_mrf(h, x.shape[-1]):
             blocks = p["resblocks"][i * num_kernels:(i + 1) * num_kernels]
             x = _amp_stage_grouped(blocks, h, x, lens)
         else:

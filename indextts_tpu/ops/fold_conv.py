@@ -57,21 +57,23 @@ def _fold_plan(k: int, d: int, f: int, cin: int, cout: int,
     return idx, -r_min, r_max
 
 
-def fold_conv1d(p, x: jnp.ndarray, f: int, dilation: int = 1,
-                padding: int = 0) -> jnp.ndarray:
-    """`nn.conv1d(p, x, padding=padding, dilation=dilation)` via time
-    folding. x: (B, T, Cin) with T % f == 0; symmetric zero padding."""
+def fold_conv1d_prefolded(p, xf: jnp.ndarray, f: int, cin: int,
+                          dilation: int = 1, padding: int = 0) -> jnp.ndarray:
+    """Folded-domain conv: xf is ALREADY (B, T/f, f*cin); returns the folded
+    output (B, T/f, f*cout) without unfolding. This is the stage-carried
+    form — BigVGAN's folded resblock stages keep the whole activation stream
+    folded, so the conv must not repack at its boundaries (the per-op
+    fold/unfold repacks are what sank the earlier whole-model folded A/Bs,
+    docs/KERNELS.md)."""
     kernel = p["kernel"]
-    k, cin, cout = kernel.shape
-    B, T, _ = x.shape
-    assert T % f == 0, (T, f)
+    k, cin_w, cout = kernel.shape
+    assert cin_w == cin, (cin_w, cin)
+    B, M, _ = xf.shape
     idx, rows_l, rows_r = _fold_plan(k, dilation, f, cin, cout,
                                      padding, padding)
     wflat = jnp.concatenate(
         [kernel.reshape(-1), jnp.zeros((1,), kernel.dtype)])
-    wf = wflat[idx].astype(x.dtype)                     # (k'', f*cin, f*cout)
-    xf = x.reshape(B, T // f, f * cin)
-    M = T // f
+    wf = wflat[idx].astype(xf.dtype)                    # (k'', f*cin, f*cout)
     # explicit shifted matmuls instead of conv_general_dilated: identical
     # contraction, but XLA's NWC conv lowering measured 1.6x slower than
     # plain dots at these shapes (tools/bench_bigvgan_ops.py); the shifted
@@ -84,7 +86,19 @@ def fold_conv1d(p, x: jnp.ndarray, f: int, dilation: int = 1,
         y = part if y is None else y + part
     if "bias" in p:
         y = y + jnp.tile(p["bias"].astype(jnp.float32), f)
-    return y.astype(x.dtype).reshape(B, T, cout)
+    return y.astype(xf.dtype)
+
+
+def fold_conv1d(p, x: jnp.ndarray, f: int, dilation: int = 1,
+                padding: int = 0) -> jnp.ndarray:
+    """`nn.conv1d(p, x, padding=padding, dilation=dilation)` via time
+    folding. x: (B, T, Cin) with T % f == 0; symmetric zero padding."""
+    B, T, cin = x.shape
+    assert T % f == 0, (T, f)
+    cout = p["kernel"].shape[2]
+    y = fold_conv1d_prefolded(p, x.reshape(B, T // f, f * cin), f, cin,
+                              dilation=dilation, padding=padding)
+    return y.reshape(B, T, cout)
 
 
 def fold_factor(c: int, T: int, target_lanes: int = 384) -> int:

@@ -196,72 +196,39 @@ def _folded_kernel(len_ref, x_ref, alpha_ref, beta_ref, edge_ref, sleft_ref,
     out_ref[0, :, :] = y.astype(out_ref.dtype)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("f", "logscale", "r_tile", "interpret"))
-def fused_antialias_folded(x: jnp.ndarray, alpha: jnp.ndarray,
-                           beta: jnp.ndarray, f: int,
-                           lengths: Optional[jnp.ndarray] = None,
-                           logscale: bool = True, r_tile: int = 256,
-                           interpret: bool = False) -> jnp.ndarray:
-    """Fused Activation1d on a time-folded layout.
+def _edge_snakes(w0: jnp.ndarray, w1: jnp.ndarray, alpha: jnp.ndarray,
+                 beta: jnp.ndarray, logscale: bool):
+    """The exact 2x-rate edge values the reference replicates with.
 
-    x: (B, T, C); f time steps fold into the lane axis (f*C should be a
-    multiple of 128; T % (f*r_tile) must be 0). Exactly matches
-    `ops.snake.antialias_activation` (tested in tests/test_pallas_antialias).
-    """
-    B, T, C = x.shape
-    assert T % f == 0 and (T // f) % r_tile == 0, (T, C, f, r_tile)
-    R = T // f
-    fC = f * C
+    w0: (B, 6, C) taps x_rep[-3..2]; w1: (B, 6, C) taps x_rep[L-3..L+2]
+    (both clamped to the valid region). Returns (s_left, s_right), each
+    (B, C): s0[t=0] and s1[t=L-1]."""
     fup = up_filter(2)
-    gdn = down_filter(2)
-    if lengths is None:
-        lengths = jnp.full((B,), T, jnp.int32)
-    lengths = lengths.astype(jnp.int32)
-
-    xf = x.astype(jnp.float32)
-    # tiny host-of-kernel values: the edge sample x[L-1], and the exact
-    # 2x-rate edge snakes s0[t=0] (left) / s1[t=L-1] (right) the reference
-    # replicates with — computed here on 6-tap windows (O(B*C))
-    idxL = jnp.maximum(lengths - 1, 0)[:, None, None]
-    edge = jnp.take_along_axis(xf, idxL, axis=1)                 # (B, 1, C)
-
-    def xrep(offsets):
-        # x_rep[t] rows for a (B, len(offsets), C) gather with clamping
-        o = jnp.asarray(offsets, jnp.int32)[None, :]
-        i = jnp.clip(o, 0, jnp.maximum(lengths[:, None] - 1, 0))
-        return jnp.take_along_axis(xf, i[:, :, None], axis=1)
-
-    a_full = alpha.reshape(-1).astype(jnp.float32)
-    b_full = beta.reshape(-1).astype(jnp.float32)
+    a_e = alpha.reshape(-1).astype(jnp.float32)
+    b_e = beta.reshape(-1).astype(jnp.float32)
     if logscale:
-        a_e = jnp.exp(a_full)
-        b_e = jnp.exp(b_full)
-    else:
-        a_e, b_e = a_full, b_full
+        a_e = jnp.exp(a_e)
+        b_e = jnp.exp(b_e)
 
     def snake_v(u):
         s = jnp.sin(u * a_e)
         return u + s * s / (b_e + 1e-9)
 
-    w0 = xrep(list(range(-3, 3)))                                 # p0[0] taps
     p0_0 = sum(2.0 * float(fup[2 * j]) * w0[:, j] for j in range(6))
-    s_left = snake_v(p0_0)                                        # (B, C)
-    # p1[L-1] taps: x_rep[L-1-2+j] — dynamic per row
-    oj = (lengths - 1)[:, None] + jnp.arange(-2, 4)[None, :]
-    ij = jnp.clip(oj, 0, jnp.maximum(lengths[:, None] - 1, 0))
-    w1 = jnp.take_along_axis(xf, ij[:, :, None], axis=1)          # (B, 6, C)
     p1_L = sum(2.0 * float(fup[2 * j + 1]) * w1[:, j] for j in range(6))
-    s_right = snake_v(p1_L)                                       # (B, C)
+    return snake_v(p0_0), snake_v(p1_L)
 
-    def tile_f(v):  # (B, C) -> (B, fC) phase-tiled
-        return jnp.tile(v, (1, f))
 
-    xfold = x.reshape(B, R, fC)
-    alpha_t = jnp.tile(alpha.reshape(1, C), (1, f))
-    beta_t = jnp.tile(beta.reshape(1, C), (1, f))
-
+def _folded_pallas_call(xfold: jnp.ndarray, lengths: jnp.ndarray,
+                        alpha_t: jnp.ndarray, beta_t: jnp.ndarray,
+                        edge_t: jnp.ndarray, sl_t: jnp.ndarray,
+                        sr_t: jnp.ndarray, *, f: int, C: int, r_tile: int,
+                        logscale: bool, interpret: bool) -> jnp.ndarray:
+    """Launch `_folded_kernel` on an already-folded (B, R, f*C) input."""
+    B, R, fC = xfold.shape
     nt = R // r_tile
+    fup = up_filter(2)
+    gdn = down_filter(2)
     kernel = functools.partial(_folded_kernel, r_tile=r_tile, f=f, C=C,
                                n_tiles=nt, n_batch=B, logscale=logscale,
                                fup=fup, gdn=gdn)
@@ -287,15 +254,129 @@ def fused_antialias_folded(x: jnp.ndarray, alpha: jnp.ndarray,
                                    lambda p, *_, _nt=nt: (p // _nt, p % _nt, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2, r_tile + 16, fC), x.dtype),
+                pltpu.VMEM((2, r_tile + 16, fC), xfold.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((B, R, fC), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, R, fC), xfold.dtype),
         interpret=interpret,
-    )(lengths, xfold, alpha_t, beta_t, tile_f(edge[:, 0]), tile_f(s_left),
-      tile_f(s_right))
+    )(lengths, xfold, alpha_t, beta_t, edge_t, sl_t, sr_t)
+    return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("f", "logscale", "r_tile", "interpret"))
+def fused_antialias_folded(x: jnp.ndarray, alpha: jnp.ndarray,
+                           beta: jnp.ndarray, f: int,
+                           lengths: Optional[jnp.ndarray] = None,
+                           logscale: bool = True, r_tile: int = 256,
+                           interpret: bool = False) -> jnp.ndarray:
+    """Fused Activation1d on a time-folded layout.
+
+    x: (B, T, C); f time steps fold into the lane axis (f*C should be a
+    multiple of 128; T % (f*r_tile) must be 0). Exactly matches
+    `ops.snake.antialias_activation` (tested in tests/test_pallas_antialias).
+    """
+    B, T, C = x.shape
+    assert T % f == 0 and (T // f) % r_tile == 0, (T, C, f, r_tile)
+    R = T // f
+    fC = f * C
+    if lengths is None:
+        lengths = jnp.full((B,), T, jnp.int32)
+    lengths = lengths.astype(jnp.int32)
+
+    xf = x.astype(jnp.float32)
+    # tiny host-of-kernel values: the edge sample x[L-1], and the exact
+    # 2x-rate edge snakes s0[t=0] (left) / s1[t=L-1] (right) the reference
+    # replicates with — computed here on 6-tap windows (O(B*C))
+    idxL = jnp.maximum(lengths - 1, 0)[:, None, None]
+    edge = jnp.take_along_axis(xf, idxL, axis=1)                 # (B, 1, C)
+
+    def xrep(offsets):
+        # x_rep[t] rows for a (B, len(offsets), C) gather with clamping
+        o = jnp.asarray(offsets, jnp.int32)[None, :]
+        i = jnp.clip(o, 0, jnp.maximum(lengths[:, None] - 1, 0))
+        return jnp.take_along_axis(xf, i[:, :, None], axis=1)
+
+    w0 = xrep(list(range(-3, 3)))                                 # p0[0] taps
+    # p1[L-1] taps: x_rep[L-1-2+j] — dynamic per row
+    oj = (lengths - 1)[:, None] + jnp.arange(-2, 4)[None, :]
+    ij = jnp.clip(oj, 0, jnp.maximum(lengths[:, None] - 1, 0))
+    w1 = jnp.take_along_axis(xf, ij[:, :, None], axis=1)          # (B, 6, C)
+    s_left, s_right = _edge_snakes(w0, w1, alpha, beta, logscale)
+
+    def tile_f(v):  # (B, C) -> (B, fC) phase-tiled
+        return jnp.tile(v, (1, f))
+
+    out = _folded_pallas_call(
+        x.reshape(B, R, fC), lengths,
+        jnp.tile(alpha.reshape(1, C), (1, f)),
+        jnp.tile(beta.reshape(1, C), (1, f)),
+        tile_f(edge[:, 0]), tile_f(s_left), tile_f(s_right),
+        f=f, C=C, r_tile=r_tile, logscale=logscale, interpret=interpret)
     return out.reshape(B, T, C)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("f", "C", "logscale", "r_tile", "interpret"))
+def fused_antialias_prefolded(xfold: jnp.ndarray, alpha: jnp.ndarray,
+                              beta: jnp.ndarray, f: int, C: int,
+                              lengths: Optional[jnp.ndarray] = None,
+                              logscale: bool = True, r_tile: int = 256,
+                              interpret: bool = False) -> jnp.ndarray:
+    """`fused_antialias_folded` on an input that is ALREADY time-folded.
+
+    xfold: (B, R, f*C) == x.reshape(B, T//f, f*C); returns the folded output
+    of the same shape. This is the stage-carried entry: BigVGAN's folded
+    resblock stages keep the whole activation stream in the folded layout,
+    so the kernel must not unfold/refold at its boundary (each (B, T, C<128)
+    <-> (B, T/f, f*C) reshape is a physical repack of lane-padded tiles —
+    the very cost that sank the per-op folded conv A/Bs, docs/KERNELS.md).
+
+    The edge-replication values (x[L-1], s0[0], s1[L-1]) are computed from
+    two-row windows of the folded tensor (O(B*f*C) gathers): time t lives at
+    row t//f, lanes [(t%f)*C, (t%f+1)*C).
+    """
+    B, R, fC = xfold.shape
+    assert fC == f * C and R % r_tile == 0, (xfold.shape, f, C, r_tile)
+    if lengths is None:
+        lengths = jnp.full((B,), R * f, jnp.int32)
+    lengths = lengths.astype(jnp.int32)
+    xf = xfold.astype(jnp.float32)
+    Lm1 = jnp.maximum(lengths - 1, 0)
+
+    # left window: rows {0, 1} -> (B, 2f, C); time j at window row j//f
+    if R >= 2:
+        lwin = xf[:, :2]
+    else:
+        lwin = jnp.concatenate([xf, xf], axis=1)
+    lwin = lwin.reshape(B, 2 * f, C)
+    # right window: rows {b0, b0+1}, b0 = max((L-1)//f - 1, 0); covers every
+    # clamped tap t in [L-3, L-1] at local index t - b0*f in [0, 2f)
+    b0 = jnp.maximum(Lm1 // f - 1, 0)                             # (B,)
+    rrows = jnp.clip(b0[:, None] + jnp.arange(2)[None, :], 0, R - 1)
+    rwin = jnp.take_along_axis(xf, rrows[:, :, None], axis=1)     # (B, 2, fC)
+    rwin = rwin.reshape(B, 2 * f, C)
+
+    def taps(win, offsets, base):
+        o = jnp.clip(offsets, 0, Lm1[:, None]) - base[:, None]
+        return jnp.take_along_axis(win, o[:, :, None], axis=1)    # (B, n, C)
+
+    w0 = taps(lwin, jnp.broadcast_to(jnp.arange(-3, 3)[None, :], (B, 6)),
+              jnp.zeros((B,), jnp.int32))
+    w1 = taps(rwin, Lm1[:, None] + jnp.arange(-2, 4)[None, :], b0 * f)
+    edge = taps(rwin, Lm1[:, None], b0 * f)[:, 0]                 # (B, C)
+    s_left, s_right = _edge_snakes(w0, w1, alpha, beta, logscale)
+
+    def tile_f(v):
+        return jnp.tile(v, (1, f))
+
+    return _folded_pallas_call(
+        xfold, lengths,
+        jnp.tile(alpha.reshape(1, C), (1, f)),
+        jnp.tile(beta.reshape(1, C), (1, f)),
+        tile_f(edge), tile_f(s_left), tile_f(s_right),
+        f=f, C=C, r_tile=r_tile, logscale=logscale, interpret=interpret)
 
 _E = 14       # replicate extension on each side of x
 _HL = 6       # input halo needed left of an output tile (right halo is 7)

@@ -236,6 +236,41 @@ def antialias_activation(x: jnp.ndarray, alpha: jnp.ndarray,
     return antialias_activation_xla(x, alpha, beta, lengths, logscale)
 
 
+def antialias_activation_prefolded(xf: jnp.ndarray, alpha: jnp.ndarray,
+                                   beta: Optional[jnp.ndarray], f: int, C: int,
+                                   lengths: Optional[jnp.ndarray] = None,
+                                   logscale: bool = True,
+                                   interpret: bool = False) -> jnp.ndarray:
+    """Anti-aliased snake on a time-folded (B, T/f, f*C) stream, folded out.
+
+    Stage-carried entry for BigVGAN's folded resblock stages: keeps the
+    activation in the folded layout across the op (no repack at the kernel
+    boundary). On TPU this is `fused_antialias_prefolded`; elsewhere (CPU
+    tests with interpret=False) it round-trips through the XLA path — the
+    reshapes are semantically free there and only the TPU path is
+    layout-sensitive.
+    """
+    import os
+
+    B, R, fC = xf.shape
+    assert fC == f * C, (xf.shape, f, C)
+    use_kernel = interpret or (
+        os.environ.get("INDEXTTS_FUSED_ANTIALIAS", "1") != "0"
+        and jax.default_backend() in ("tpu", "axon") and B in (1, 2, 4, 8))
+    if use_kernel:
+        rt = next((t for t in (256, 128, 64, 32, 16, 8) if R % t == 0), None)
+        if rt is not None:
+            from indextts_tpu.ops.pallas.antialias import \
+                fused_antialias_prefolded
+
+            return fused_antialias_prefolded(
+                xf, alpha, alpha if beta is None else beta, f, C, lengths,
+                logscale=logscale, r_tile=rt, interpret=interpret)
+    y = antialias_activation_xla(xf.reshape(B, R * f, C), alpha, beta,
+                                 lengths, logscale)
+    return y.reshape(B, R, fC)
+
+
 def antialias_activation_xla(x: jnp.ndarray, alpha: jnp.ndarray,
                              beta: Optional[jnp.ndarray],
                              lengths: Optional[jnp.ndarray] = None,

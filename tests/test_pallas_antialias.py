@@ -112,3 +112,30 @@ def test_int8_matvec_interpret_matches_dense():
                                  preferred_element_type=jnp.float32))
         out = np.asarray(int8_matvec(x, wq, block_n=bn, interpret=True))
         np.testing.assert_allclose(out, ref, rtol=1e-2, atol=1e-2)
+
+
+@pytest.mark.parametrize("T,C,f,edge_len", [
+    (256, 24, 16, 219), (512, 48, 8, 475), (512, 96, 4, 1),
+    (256, 192, 2, 129),
+])
+def test_prefolded_matches_folded(rng, T, C, f, edge_len):
+    """Stage-carried prefolded entry == the unfolded-boundary kernel: the
+    edge snakes computed from two-row folded windows must equal the clean
+    unfolded gathers, including lengths that land mid-row / at row seams."""
+    from indextts_tpu.ops.pallas.antialias import (fused_antialias_folded,
+                                                   fused_antialias_prefolded)
+
+    B = 2
+    x = jnp.asarray(rng.standard_normal((B, T, C)) * 2, jnp.float32)
+    alpha = jnp.asarray(rng.standard_normal(C) * 0.3, jnp.float32)
+    beta = jnp.asarray(rng.standard_normal(C) * 0.3, jnp.float32)
+    lens = jnp.asarray([T, edge_len], jnp.int32)
+    rt = min(256, T // f)
+    ref = np.asarray(fused_antialias_folded(x, alpha, beta, f, lens,
+                                            r_tile=rt, interpret=True))
+    out = np.asarray(fused_antialias_prefolded(
+        x.reshape(B, T // f, f * C), alpha, beta, f, C, lens, r_tile=rt,
+        interpret=True)).reshape(B, T, C)
+    for b, L in enumerate(np.asarray(lens)):
+        np.testing.assert_allclose(out[b, :L], ref[b, :L], atol=2e-5,
+                                   rtol=1e-4)
