@@ -279,6 +279,19 @@ def _use_grouped_mrf(h: BigVGANConfig, C: int) -> bool:
                          or jax.default_backend() in ("tpu", "axon")))
 
 
+def _up_conv(up: Params, x: jnp.ndarray, u: int, k: int) -> jnp.ndarray:
+    """Upsample ConvTranspose1d; INDEXTTS_SUBPIXEL_CONVT=1 (=force off-TPU)
+    routes to the subpixel restructure (identical taps, no zero-insertion;
+    1.11x per op in the device probe, /tmp/bvops3)."""
+    import os
+
+    flag = os.environ.get("INDEXTTS_SUBPIXEL_CONVT", "0")
+    if flag != "0" and (flag == "force"
+                        or jax.default_backend() in ("tpu", "axon")):
+        return nn.conv_transpose1d_subpixel(up, x, u, padding=(k - u) // 2)
+    return nn.conv_transpose1d(up, x, stride=u, padding=(k - u) // 2)
+
+
 def bigvgan_forward(p: Params, h: BigVGANConfig, mel: jnp.ndarray,
                     mel_lens: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """mel: (B, T, num_mels) -> wav (B, T * prod(rates)) in [-1, 1].
@@ -291,7 +304,7 @@ def bigvgan_forward(p: Params, h: BigVGANConfig, mel: jnp.ndarray,
     num_kernels = len(h.resblock_kernel_sizes)
     for i, (u, k) in enumerate(zip(h.upsample_rates, h.upsample_kernel_sizes)):
         x = _mask(x, lens)
-        x = nn.conv_transpose1d(p["ups"][i], x, stride=u, padding=(k - u) // 2)
+        x = _up_conv(p["ups"][i], x, u, k)
         if lens is not None:
             lens = lens * u
         x = _mask(x, lens)

@@ -323,6 +323,63 @@ def conv_transpose1d(p: Params, x: jnp.ndarray, stride: int, padding: int = 0,
     return y.astype(dtype)
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _subpixel_plan(W: int, u: int, padding: int, cin: int,
+                   cout: int) -> Tuple[np.ndarray, int, int]:
+    """Phase-kernel index map for convT-as-subpixel-conv.
+
+    From the lhs-dilated form (y[o] = sum_t xd[o+t-pad]*K[t], pad=W-1-padding,
+    xd the stride-u zero-inserted x): with o = u*i + p the only nonzero taps
+    are t = pad - p + u*m, giving y[u*i+p] = sum_m x[i+m]*K[pad-p+u*m].
+    Returns (idx (n_m, cin, u*cout) into [K.flat ++ 0], pad_l, pad_r) such
+    that a plain (pad_l, pad_r)-padded n_m-tap NWC conv with
+    W_sub = concat([K.flat, 0])[idx] produces (B, T, u*cout), whose row-major
+    reshape to (B, u*T, cout) equals the transposed conv."""
+    pad = W - 1 - padding
+    valid = [(p_, m) for p_ in range(u)
+             for m in range(-(W // u) - 1, W // u + 2)
+             if 0 <= pad - p_ + u * m < W]
+    m_min = min(m for _, m in valid)
+    m_max = max(m for _, m in valid)
+    n_m = m_max - m_min + 1
+    zero = W * cin * cout
+    idx = np.full((n_m, cin, u * cout), zero, np.int64)
+    for p_, m in valid:
+        t = pad - p_ + u * m
+        src = (t * cin * cout
+               + np.arange(cin)[:, None] * cout + np.arange(cout)[None, :])
+        idx[m - m_min, :, p_ * cout:(p_ + 1) * cout] = src
+    return idx, -m_min, n_m - 1 + m_min
+
+
+def conv_transpose1d_subpixel(p: Params, x: jnp.ndarray, stride: int,
+                              padding: int = 0, dtype=None) -> jnp.ndarray:
+    """`conv_transpose1d` as a stride-1 subpixel conv: (B, T, Cin) ->
+    (B, T, u*Cout) -> row-major reshape (B, u*T, Cout). Identical math to
+    the lhs-dilated form (same taps, no zero-insertion work); measured
+    1.11x on BigVGAN upsample shapes (/tmp/bvops3 probe)."""
+    dtype = dtype or x.dtype
+    kernel = p["kernel"]
+    W, cin, cout = kernel.shape
+    B, T, _ = x.shape
+    idx, pad_l, pad_r = _subpixel_plan(W, stride, padding, cin, cout)
+    wflat = jnp.concatenate(
+        [kernel.reshape(-1), jnp.zeros((1,), kernel.dtype)])
+    wsub = wflat[idx].astype(dtype)
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), wsub,
+        window_strides=(1,), padding=[(pad_l, pad_r)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32,
+    )
+    if "bias" in p:
+        y = y + jnp.tile(p["bias"].astype(jnp.float32), stride)
+    return y.astype(dtype).reshape(B, stride * T, cout)
+
+
 def conv2d_init(rng: InitRng, in_ch: int, out_ch: int, kh: int, kw: int,
                 bias: bool = True) -> Params:
     fan_in = in_ch * kh * kw

@@ -182,3 +182,40 @@ def test_bigvgan_matmul_conv_matches_plain(monkeypatch):
     monkeypatch.setenv("INDEXTTS_MATMUL_CONV", "force")
     got = np.asarray(bigvgan_forward(params, h, mel, lens))
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("u,k,cin,cout", [(4, 8, 16, 8), (2, 4, 8, 8),
+                                          (2, 4, 3, 5), (4, 8, 8, 16)])
+def test_subpixel_convt_matches(u, k, cin, cout):
+    """conv_transpose1d_subpixel == conv_transpose1d on BigVGAN's (u, k)."""
+    rng = InitRng(13)
+    p = {"kernel": rng.normal((k, cin, cout), std=0.1),
+         "bias": rng.normal((cout,), std=0.1)}
+    r = np.random.default_rng(14)
+    x = jnp.asarray(r.standard_normal((2, 40, cin)), jnp.float32)
+    ref = np.asarray(nn.conv_transpose1d(p, x, stride=u, padding=(k - u) // 2))
+    got = np.asarray(nn.conv_transpose1d_subpixel(p, x, u,
+                                                  padding=(k - u) // 2))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_bigvgan_subpixel_matches_plain(monkeypatch):
+    from indextts_tpu.config import BigVGANConfig
+    from indextts_tpu.models.vocoder.bigvgan import (bigvgan_forward,
+                                                     init_bigvgan)
+
+    h = BigVGANConfig(num_mels=8, upsample_rates=(4, 2),
+                      upsample_kernel_sizes=(8, 4),
+                      upsample_initial_channel=48,
+                      resblock_kernel_sizes=(3, 7),
+                      resblock_dilation_sizes=((1, 3), (1, 3)))
+    params = init_bigvgan(InitRng(15), h)
+    r = np.random.default_rng(16)
+    mel = jnp.asarray(r.standard_normal((2, 32, 8)), jnp.float32)
+    lens = jnp.asarray([32, 19], jnp.int32)
+    monkeypatch.setenv("INDEXTTS_SUBPIXEL_CONVT", "0")
+    ref = np.asarray(bigvgan_forward(params, h, mel, lens))
+    monkeypatch.setenv("INDEXTTS_SUBPIXEL_CONVT", "force")
+    got = np.asarray(bigvgan_forward(params, h, mel, lens))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)

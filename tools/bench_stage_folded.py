@@ -66,14 +66,21 @@ def main():
         t_fold, w_fold = run("folded   ")
         os.environ["INDEXTTS_MATMUL_CONV"] = "1"
         t_both, w_both = run("folded+mm")
+        os.environ["INDEXTTS_SUBPIXEL_CONVT"] = "1"
+        t_all, w_all = run("fold+mm+sub")
         os.environ["INDEXTTS_STAGE_FOLDED"] = "0"
+        os.environ["INDEXTTS_SUBPIXEL_CONVT"] = "0"
         t_mm, w_mm = run("mm only  ")
         os.environ["INDEXTTS_MATMUL_CONV"] = "0"
+        os.environ["INDEXTTS_SUBPIXEL_CONVT"] = "1"
+        t_sub, w_sub = run("sub only ")
+        os.environ["INDEXTTS_SUBPIXEL_CONVT"] = "0"
         diff = float(np.max(np.abs(w_plain - w_fold)))
-        diff2 = float(np.max(np.abs(w_plain - w_both)))
+        diff2 = float(np.max(np.abs(w_plain - w_all)))
         print(f"  folded {t_plain / t_fold:.2f}x  +mm {t_plain / t_both:.2f}x"
-              f"  mm-only {t_plain / t_mm:.2f}x  "
-              f"max|dw| folded {diff:.2e} both {diff2:.2e}", flush=True)
+              f"  all {t_plain / t_all:.2f}x  mm-only {t_plain / t_mm:.2f}x"
+              f"  sub-only {t_plain / t_sub:.2f}x  "
+              f"max|dw| folded {diff:.2e} all {diff2:.2e}", flush=True)
     print("DONE", flush=True)
 
 
