@@ -146,6 +146,21 @@ def main():
     print(f"single-segment beams=3: RTF {beams3_rtf:.4f} "
           f"({beams3_rtf / single_rtf:.2f}x of beams=1)", file=sys.stderr)
 
+    # long-form beams=3: the 8-seg x K=3 serving shape (VERDICT r3 item 3)
+    beams3_long_rtf = None
+    try:
+        run(text_long, num_beams=3)
+        for _ in range(2):
+            dt, secs = run(text_long, num_beams=3)
+            r = dt / max(secs, 1e-6)
+            beams3_long_rtf = (r if beams3_long_rtf is None
+                               else min(beams3_long_rtf, r))
+        print(f"long-form beams=3: RTF {beams3_long_rtf:.4f} "
+              f"({beams3_long_rtf / best:.2f}x of beams=1 long-form)",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"long-form beams=3 run failed: {e!r}", file=sys.stderr)
+
     # serving-cap bucket: max_mel_tokens=1500 (reference cap, infer_v2.py:534)
     serving_cap_rtf = None
     try:
@@ -158,19 +173,29 @@ def main():
     except Exception as e:
         print(f"serving-cap run failed: {e!r}", file=sys.stderr)
 
-    # stage-synced long-form profile (the default timers measure dispatch on
-    # a relay-attached chip; sync=1 ends each stage with a device sync)
-    stages = None
+    # stage-synced profiles (the default timers measure dispatch on a
+    # relay-attached chip; sync=1 ends each stage with a device sync).
+    # single_stages / serving-cap stages expose where the short-workload
+    # wall time goes (VERDICT r3 item 2).
+    def synced_stages(text, label, mel_cap=None):
+        run(text, mel_cap=mel_cap)
+        run(text, mel_cap=mel_cap)
+        st = dict(tts.last_stage_times)
+        out = {"gpt": st["gpt"], "gpt_forward": st.get("gpt_forward", 0.0),
+               "s2mel": st["s2mel"], "bigvgan": st["bigvgan"],
+               "total": st["total"], "audio_s": st["audio_s"]}
+        print(f"stage-synced {label}: {out} -> RTF "
+              f"{st['total'] / max(st['audio_s'], 1e-6):.4f}", file=sys.stderr)
+        return out
+
+    stages = single_stages = cap_stages = None
     try:
         tts.stage_sync = True
-        run(text_long)
-        dt, secs = run(text_long)
-        st = dict(tts.last_stage_times)
-        stages = {"gpt": st["gpt"], "s2mel": st["s2mel"],
-                  "bigvgan": st["bigvgan"], "total": st["total"],
-                  "audio_s": st["audio_s"]}
-        print(f"stage-synced long-form: {stages} -> RTF "
-              f"{st['total'] / max(st['audio_s'], 1e-6):.4f}", file=sys.stderr)
+        stages = synced_stages(text_long, "long-form")
+        single_stages = synced_stages(text_short, "single-segment")
+        cap_stages = synced_stages(text_short, "serving-cap", mel_cap=1500)
+    except Exception as e:
+        print(f"stage-synced profiling failed: {e!r}", file=sys.stderr)
     finally:
         tts.stage_sync = False
 
@@ -198,6 +223,22 @@ def main():
     except Exception as e:
         print(f"first-audio measurement failed: {e!r}", file=sys.stderr)
 
+    # quality block (VERDICT r3 item 8): tiny-lane checkpoint-free MCD +
+    # logit-agreement gates for the shipping quant config, via a CPU
+    # subprocess so a quantization regression is visible in the same
+    # artifact that advertises the speed
+    quality = None
+    try:
+        import subprocess
+
+        proc = subprocess.run(
+            [sys.executable, "eval/quality_gate.py"], cwd="/root/repo",
+            capture_output=True, text=True, timeout=1200)
+        quality = json.loads(proc.stdout.strip().splitlines()[-1])
+        print(f"quality gate: {quality}", file=sys.stderr)
+    except Exception as e:
+        print(f"quality gate failed: {e!r}", file=sys.stderr)
+
     target = 0.05
     print(json.dumps({
         "metric": "e2e_rtf",
@@ -209,8 +250,15 @@ def main():
         "medium_rtf": round(medium_rtf, 5),
         "beams3_rtf": round(beams3_rtf, 5),
         "beams3_over_beams1": round(beams3_rtf / single_rtf, 3),
+        "beams3_longform_rtf": (round(beams3_long_rtf, 5)
+                                if beams3_long_rtf else None),
+        "beams3_longform_over_beams1": (round(beams3_long_rtf / best, 3)
+                                        if beams3_long_rtf else None),
         "serving_cap_rtf": serving_cap_rtf,
         "stages": stages,
+        "single_stages": single_stages,
+        "serving_cap_stages": cap_stages,
+        "quality": quality,
     }))
 
 

@@ -80,8 +80,11 @@ def main():
         return best / STEPS
 
     # (4, 1664) = the serving-cap bucket (max_mel_tokens=1500 + prefix,
-    # 128-aligned) — the regime where the cache dominates the weight DMA
-    for B, S in ((4, 1024), (8, 1024), (8, 512), (4, 1664)):
+    # 128-aligned) — the regime where the cache dominates the weight DMA.
+    # B=1 rows are the bench's actual serving-cap config (single segment,
+    # max_mel_tokens=1500) — VERDICT r3 item 1.
+    for B, S in ((1, 1024), (1, 1664), (4, 1024), (8, 1024), (8, 512),
+                 (4, 1664)):
         a = run(B, S, False)
         b = run(B, S, True)
         print(f"B={B} S={S}: int8kv/bf16 = {b / a:.2f}x\n", flush=True)

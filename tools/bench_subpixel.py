@@ -28,6 +28,13 @@ def main():
                                                      init_bigvgan)
     from indextts_tpu.nn import InitRng
 
+    # bigvgan.py:289 only honors INDEXTTS_SUBPIXEL_CONVT=1 on tpu/axon
+    # backends — run on CPU this would silently A/B plain-vs-plain and
+    # report ~1.00x (advisor r3 finding)
+    assert jax.default_backend() in ("tpu", "axon"), (
+        "bench_subpixel measures nothing off-TPU (the =1 flag value is "
+        f"TPU-gated); backend is {jax.default_backend()!r}")
+
     t0 = time.perf_counter()
     jax.jit(lambda x: x * 2)(jnp.ones((8, 128))).block_until_ready()
     print(f"warmup {time.perf_counter() - t0:.1f}s", flush=True)
