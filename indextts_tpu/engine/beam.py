@@ -56,16 +56,21 @@ from indextts_tpu.ops.sampling import (apply_repetition_penalty, apply_temperatu
 
 NEG = jnp.float32(-1e9)
 
-# kv stream block length of the fused decode kernel (ops/pallas/decode_step)
+# kv stream block length of the fused decode kernel (ops/pallas/decode_step):
+# 64 slots up to B*K=12, 32 for 13..24 (mirrors the kernel's own bs choice)
 _ANC_BS = 64
 
 
-def _anc_flat(anc: jnp.ndarray, S: int) -> jnp.ndarray:
-    """(B*K, S) in-group ancestry -> the kernel's (S//64, B*K*64, 1) flat
-    block layout (flat row of slot s in block i is r*64 + (s - i*64))."""
+def _anc_bs(BK: int) -> int:
+    return _ANC_BS if BK <= 12 else _ANC_BS // 2
+
+
+def _anc_flat(anc: jnp.ndarray, S: int, bs: int = _ANC_BS) -> jnp.ndarray:
+    """(B*K, S) in-group ancestry -> the kernel's (S//bs, B*K*bs, 1) flat
+    block layout (flat row of slot s in block i is r*bs + (s - i*bs))."""
     BK = anc.shape[0]
-    a = anc.reshape(BK, S // _ANC_BS, _ANC_BS).transpose(1, 0, 2)
-    return a.reshape(S // _ANC_BS, BK * _ANC_BS, 1).astype(jnp.bfloat16)
+    a = anc.reshape(BK, S // bs, bs).transpose(1, 0, 2)
+    return a.reshape(S // bs, BK * bs, 1).astype(jnp.bfloat16)
 
 
 def _row_keys(rng, B: int):
@@ -106,10 +111,16 @@ def generate_beam(params: Params, cfg: GPTConfig, dims: GPT2Dims,
     # INDEXTTS_BEAM_ANC=0 restores the gather path (A/B + fallback).
     S = _cache_len(P, max_new_tokens, fused)
     # gates: the anc map lives fully in VMEM inside the kernel (lane-padded
-    # to S*B*K*256 bytes) — bound it to 2 MB; larger configs keep the gather
-    use_anc = (fused and K > 1 and B * K <= 12
-               and S * B * K * 256 <= 2 * 1024 * 1024
+    # to S*B*K*256 bytes regardless of block size). B*K <= 12 keeps the
+    # proven 2 MB bound under the default Mosaic scope; 13..24 rides the
+    # kernel's 32-slot blocks with a raised vmem limit, bounded at 6 MB
+    # (the 8-seg x K=3 serving shape at S=768 is 4.7 MB). Larger configs
+    # keep the gather.
+    anc_cap = (2 * 1024 * 1024 if B * K <= 12 else 6 * 1024 * 1024)
+    use_anc = (fused and K > 1 and B * K <= 24
+               and S * B * K * 256 <= anc_cap
                and os.environ.get("INDEXTTS_BEAM_ANC", "1") != "0")
+    anc_bs = _anc_bs(B * K)
     stop = cfg.stop_mel_token
     lp = sampling.length_penalty
     L = max_new_tokens
@@ -318,7 +329,7 @@ def generate_beam(params: Params, cfg: GPTConfig, dims: GPT2Dims,
             # own index so advance()'s anc[gidx] inherits the parent pointer
             anc = anc.at[:, pos].set(own_idx)
             h, kv = _decode_step(fused, params, x, dims, pos, kv, kv_valid,
-                                 anc=_anc_flat(anc, S), group=K)
+                                 anc=_anc_flat(anc, S, anc_bs), group=K)
         else:
             h, kv = _decode_step(fused, params, x, dims, pos, kv, kv_valid)
         logits = mel_logits_from_hidden(params, h).reshape(B, K, V)

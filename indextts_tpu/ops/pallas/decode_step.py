@@ -475,10 +475,15 @@ def fused_decode_step(params: Dict, x: jnp.ndarray, dims: GPT2Dims,
 
     Beam mode (group=K > 1): B is the flattened rows*K beam batch, the cache
     is UNORDERED (row r holds what slot r computed each step), and
-    anc (S//64, B*64, 1) bf16 holds the in-group ancestry index of each
+    anc (S//bs, B*bs, 1) bf16 (bs = the kernel's kv stream block: 64 up to
+    B=12, 32 for 13..24) holds the in-group ancestry index of each
     (row, position) in the kernel's flat block layout
     (`engine/beam.py::_anc_flat`). The kernel selects K/V values by ancestry
-    instead of the engine gathering the whole cache per step.
+    instead of the engine gathering the whole cache per step. At B in 13..24
+    the lane-padded anc map pushes past the default ~16 MB Mosaic scope, so
+    the call raises vmem_limit_bytes (the 8-segment x K=3 serving shape then
+    decodes as ONE kernel-path call instead of two weight-restreaming
+    chunks).
     """
     from indextts_tpu import nn
 
@@ -542,7 +547,6 @@ int8 caches belong to the XLA path; flat int8 uses the 'kvs' key)"
     e1t = e1.T.astype(jnp.float32)
 
     if group > 1:
-        assert bs == _BS, "beam ancestry mode requires B <= 12 (anc layout)"
         assert anc is not None and anc.shape == (S // bs, B * bs, 1), (
             anc if anc is None else anc.shape, (S // bs, B * bs, 1))
         assert B % group == 0, (B, group)
@@ -556,6 +560,15 @@ int8 caches belong to the XLA path; flat int8 uses the 'kvs' key)"
     anc_specs = [full((S // bs, B * bs, 1))] if group > 1 else []
     anc_args = [anc.astype(jnp.bfloat16)] if group > 1 else []
     anc_scratch = []
+    # VMEM budget: the proven B<=12 / sampling configs compile under the
+    # default ~16 MB Mosaic scope; beam ancestry at B in 13..24 adds the
+    # lane-padded anc map (S*B*256 bytes) on top of the 32-slot scratch and
+    # needs the scope raised (v5e VMEM is far larger; attn.py ships with a
+    # 100 MB limit on production traffic)
+    compiler_params = None
+    if group > 1 and B > 12:
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2**20)
     x_out, k_new, v_new = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -602,6 +615,7 @@ int8 caches belong to the XLA path; flat int8 uses the 'kvs' key)"
             jax.ShapeDtypeStruct((L, B, D), jnp.bfloat16),
         ],
         interpret=interpret,
+        **({"compiler_params": compiler_params} if compiler_params else {}),
     )(jnp.reshape(pos, (1,)).astype(jnp.int32), x.astype(jnp.bfloat16),
       ln1w, ln1b, ln2w, ln2b, sqkv, bqkv, sproj, bproj, sfc, bfc, sp2, bp2,
       starts, e1b, e1t,

@@ -268,11 +268,26 @@ class IndexTTS2:
             placement = replicated(self.mesh)
         else:
             placement = None
-        if tp > 1 and os.environ.get("INDEXTTS_FUSED_DECODE", "1") == "1":
-            # the fused decode kernel is a single-device Pallas program; a
-            # tp-sharded cache/params cannot flow through it
+        tp_axis = (dict(self.mesh.shape).get("tp", 1)
+                   if self.mesh is not None else 1)
+        tp_kernel = (tp_axis == 2 and self.quantization in ("int8",)
+                     and os.environ.get("INDEXTTS_TP_DECODE", "") == "kernel"
+                     and os.environ.get("INDEXTTS_FUSED_DECODE", "1") != "0")
+        if tp_kernel:
+            # tp=2 fused decode kernel (shard_map + in-kernel RDMA
+            # all-reduce, ops/pallas/decode_step_tp.py): store the qkv stack
+            # head-aligned and point the engine at the mesh
+            from indextts_tpu.engine import decode as _dec
+
+            _dec.TP_MESH = self.mesh
+            print(">> tp=2 mesh: fused decode kernel via shard_map "
+                  "(INDEXTTS_TP_DECODE=kernel)")
+        elif tp > 1 and os.environ.get("INDEXTTS_FUSED_DECODE", "1") == "1":
+            # the single-device fused kernel cannot take a tp-sharded
+            # cache/params; without the tp kernel opt-in, use the GSPMD path
             os.environ["INDEXTTS_FUSED_DECODE"] = "0"
-            print(">> tp>1 mesh: fused decode kernel disabled (GSPMD path)")
+            print(">> tp>1 mesh: fused decode kernel disabled (GSPMD path; "
+                  "opt in with INDEXTTS_TP_DECODE=kernel)")
 
         def put(tree, tp_shard=False):
             if tp_shard and tp > 1:
@@ -294,6 +309,11 @@ class IndexTTS2:
 
                 tree = dict(tree)
                 tree["gpt"] = quantize_gpt2_int8(tree["gpt"])
+                if tp_kernel:
+                    from indextts_tpu.ops.pallas.decode_step_tp import \
+                        gpt_tp_layout
+
+                    tree["gpt"] = gpt_tp_layout(tree["gpt"])
                 print(">> GPT decoder weights quantized to int8 (weight-only)")
             elif name == "gpt_params" and self.quantization in ("int4",
                                                                 "int4kv"):
@@ -824,15 +844,16 @@ class IndexTTS2:
             # beams > 1 -> batched (B, K) beam search; otherwise the
             # adaptive-cache sampling loop. Beam batches whose B*K exceeds
             # the fused kernel's ancestry cap decode in row chunks so every
-            # chunk keeps the in-kernel ancestry path (B*K<=12) instead of
-            # the whole batch falling back to the per-step cache gather;
-            # rows are independent and per-row keys make chunking
+            # chunk keeps the in-kernel ancestry path (B*K<=24 via 32-slot
+            # kv blocks; each extra chunk re-streams all weights per token)
+            # instead of the whole batch falling back to the per-step cache
+            # gather; rows are independent and per-row keys make chunking
             # token-identical (tests/test_beam.py batched==sequential).
             if sampling.num_beams > 1:
                 K = sampling.num_beams
                 B_rows = pe.shape[0]
                 chunk = (int(os.environ.get("INDEXTTS_BEAM_CHUNK", "0"))
-                         or max(1, 12 // K))
+                         or max(1, 24 // K))
                 if B_rows > chunk and self.mesh is None:
                     keys = jax.random.split(self._next_rng(), B_rows)
                     parts = [generate_beam(

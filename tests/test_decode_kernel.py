@@ -176,14 +176,16 @@ def test_beam_fused_runs(monkeypatch):
     assert np.all((np.asarray(toks) >= 0) & (np.asarray(toks) < 50))
 
 
-def test_fused_decode_step_anc_parity():
+@pytest.mark.parametrize("K,B", [(2, 4), (2, 14), (3, 24)])
+def test_fused_decode_step_anc_parity(K, B):
     """Beam-ancestry selection (group=K, unordered cache + anc map) must be
     BIT-identical to running the kernel on a physically ancestry-gathered
     cache — the whole point of the design is replacing the HF per-step cache
-    gather without changing a single output bit."""
-    from indextts_tpu.engine.beam import _anc_flat
+    gather without changing a single output bit. B=14/24 exercise the
+    32-slot kv-block layout (B*K > 12, VERDICT r3 item 3)."""
+    from indextts_tpu.engine.beam import _anc_bs, _anc_flat
 
-    K, B, S, pos = 2, 4, 128, 70
+    S, pos = 128, 70
     params, x, cache, mask, posv = _setup(B=B, S=S, pos=pos)
     nprng = np.random.default_rng(42)
     anc = nprng.integers(0, K, size=(B, S)).astype(np.int32)
@@ -196,7 +198,8 @@ def test_fused_decode_step_anc_parity():
                                          mask, interpret=True)
     got_h, got_cache = fused_decode_step(params, x, DIMS, posv, flat, mask,
                                          interpret=True,
-                                         anc=_anc_flat(jnp.asarray(anc), S),
+                                         anc=_anc_flat(jnp.asarray(anc), S,
+                                                       _anc_bs(B)),
                                          group=K)
     np.testing.assert_array_equal(np.asarray(got_h, np.float32),
                                   np.asarray(ref_h, np.float32))
@@ -207,10 +210,12 @@ def test_fused_decode_step_anc_parity():
             np.asarray(ref_cache[key][:, :, pos], np.float32))
 
 
-def test_beam_anc_matches_gather(monkeypatch):
+@pytest.mark.parametrize("B", [2, 5])
+def test_beam_anc_matches_gather(monkeypatch, B):
     """generate_beam with the in-kernel ancestry map (INDEXTTS_BEAM_ANC=1,
     default) is token-identical to the per-step cache-gather path, through
-    the fused kernel in interpret mode, sampled + deterministic."""
+    the fused kernel in interpret mode, sampled + deterministic. B=5 with
+    K=3 (15 flat rows) exercises the 32-slot anc layout."""
     from indextts_tpu.config import ConditionModuleConfig, GPTConfig
     from indextts_tpu.engine import beam as bm
     from indextts_tpu.engine.decode import SamplingConfig
@@ -230,7 +235,7 @@ def test_beam_anc_matches_gather(monkeypatch):
     params = init_unified_voice(InitRng(0), cfg)
     params["gpt"] = quantize_gpt2_int8(params["gpt"])
     rng = np.random.default_rng(3)
-    B, P = 2, 7
+    P = 7
     prefix = jnp.asarray(rng.normal(0, 0.3, (B, P, cfg.model_dim)),
                          jnp.bfloat16)
     mask = jnp.ones((B, P), bool).at[0, 0].set(False)
@@ -451,14 +456,16 @@ def test_generate_adaptive_int8kv_span_growth(monkeypatch):
     assert np.all(np.asarray(lens) >= 9)
 
 
-def test_fused_decode_step_anc_int8kv_parity():
+@pytest.mark.parametrize("K,B", [(2, 4), (3, 24)])
+def test_fused_decode_step_anc_int8kv_parity(K, B):
     """Beam ancestry + int8 KV: selection on bf16-cast values with the
     packed scale rows riding the same selection must be BIT-identical to
-    running the KVQ kernel on a physically ancestry-gathered int8 cache."""
-    from indextts_tpu.engine.beam import _anc_flat
+    running the KVQ kernel on a physically ancestry-gathered int8 cache
+    (B=24 exercises the 32-slot kv-block layout)."""
+    from indextts_tpu.engine.beam import _anc_bs, _anc_flat
     from indextts_tpu.models.gpt.gpt2 import kv_quantize_flat
 
-    K, B, S, pos = 2, 4, 128, 70
+    S, pos = 128, 70
     params, x, cache, mask, posv = _setup(B=B, S=S, pos=pos)
     flat = _flat(cache)
     kq, vq, kvs = kv_quantize_flat(flat["k"], flat["v"], DIMS.heads)
@@ -473,7 +480,8 @@ def test_fused_decode_step_anc_int8kv_parity():
                                          mask, interpret=True)
     got_h, got_cache = fused_decode_step(params, x, DIMS, posv, qflat, mask,
                                          interpret=True,
-                                         anc=_anc_flat(jnp.asarray(anc), S),
+                                         anc=_anc_flat(jnp.asarray(anc), S,
+                                                       _anc_bs(B)),
                                          group=K)
     np.testing.assert_array_equal(np.asarray(got_h, np.float32),
                                   np.asarray(ref_h, np.float32))
