@@ -193,6 +193,15 @@ def _verb_landline(m: re.Match) -> str:
     return digits_reading(m.group("ll").replace("-", ""), use_yao=True)
 
 
+def _verb_idn(m: re.Match) -> str:
+    return digits_reading(m.group("idn"))
+
+
+def _verb_ratio(m: re.Match) -> str:
+    return (number_token_to_zh(m.group("rx")) + "比"
+            + number_token_to_zh(m.group("ry")))
+
+
 def _verb_range(m: re.Match) -> str:
     a, b = m.group("ra"), m.group("rb")
     fa = m.group("rfa") or ""
@@ -229,6 +238,32 @@ def _verb_cardinal(m: re.Match) -> str:
     if nxt and tok == "2" and nxt in _MEASURE_WORDS and prev != "第":
         return ("负" if neg else "") + "两" + nxt
     return ("负" if neg else "") + number_token_to_zh(tok) + nxt
+
+
+# business abbreviations read with English "to" (WeTextProcessing whitelist
+# behavior, speechio cn_tn documented case 特殊:O2O或B2C -> O to O或B to C;
+# a general [A-Z]2[A-Z] rule would corrupt chemical formulas like H2O)
+_TO_ABBREV = re.compile(r"(?<![A-Za-z0-9])([OBCP])2([OBCP])(?![A-Za-z0-9])")
+_PLUS_86 = re.compile(r"\+86[-\s]?(?=1[3-9]\d{9})")
+# landline continuations: 0595-23865596或23880880 — the bare 7/8-digit
+# number after 或/、 inherits the telephone reading (digit-wise), matching
+# the cn_tn documented output 固话:零五九五... 或二三八八零八八零
+_LL_GROUP = re.compile(r"(0\d{2,3}-\d{7,8})((?:[或、](?:0\d{2,3}-)?\d{7,8})+)"
+                       r"(?!\d)")
+
+
+def _pre_special(text: str) -> str:
+    text = _TO_ABBREV.sub(r"\1 to \2", text)
+    text = _PLUS_86.sub("加八六", text)
+
+    def llg(m: re.Match) -> str:
+        head = digits_reading(m.group(1).replace("-", ""), use_yao=True)
+        tail = re.sub(r"\d+", lambda d: digits_reading(d.group(0),
+                                                       use_yao=True),
+                      m.group(2))
+        return head + tail
+
+    return _LL_GROUP.sub(llg, text)
 
 
 # dates with CJK markers run as pre-passes (before the master alternation)
@@ -288,6 +323,12 @@ _MASTER = re.compile(
     r"|(?<!\d)(?P<mob>1[3-9]\d{9})(?!\d)"
     # landline: 0xx(x)-xxxxxxx(x)
     r"|(?<!\d)(?P<ll>0\d{2,3}-\d{7,8})(?!\d)"
+    # long identifiers (>= 12 digits): digit-wise, the cn_tn 编号 behavior
+    # (a 14-digit serial is an ID, not a 万亿-scale cardinal)
+    r"|(?<!\d)(?P<idn>\d{12,})(?!\.?\d)"
+    # ratio/score: 1:5 -> 一比五 (colon forms that are not valid H:MM times;
+    # the time alternative above wins for those)
+    r"|(?<!\d)(?P<rx>\d{1,4}):(?P<ry>\d{1,4})(?!\d)"
     # fraction: 3/4
     r"|(?<![\d/])(?P<fn>\d{1,6})/(?P<fd>\d{1,6})(?![\d/])"
     # numeric range: 3~5 or 3-5 (both sides short numbers; hyphen form ranks
@@ -309,6 +350,8 @@ _VERBALIZERS = {
     "pw": _verb_percent,
     "mob": _verb_mobile,
     "ll": _verb_landline,
+    "idn": _verb_idn,
+    "rx": _verb_ratio,
     "fn": _verb_fraction,
     "ra": _verb_range,
     "uw": _verb_measure,
@@ -328,6 +371,7 @@ class ZhNormalizer:
 
     def normalize(self, text: str) -> str:
         text = text.translate(_FW_TRANS)
+        text = _pre_special(text)
         text = _pre_dates(_pre_date_ranges(text))
 
         def repl(m: re.Match) -> str:

@@ -5,6 +5,12 @@ The reference earns its WER numbers with WeTextProcessing
 not installable in this image. The goldens below encode the tn rule-family
 behavior (README examples and rule conventions) and run with NO tn/wetext
 installed — that absence is itself asserted.
+
+Externally-anchored vectors (published WeTextProcessing / speechio
+cn_tn corpus examples, plus the behavioral corrections adopting them
+forced) live in `tests/test_normalize_external.py`; where a case here
+conflicted with a published vector, the normalizer was corrected and the
+external file carries the authoritative golden.
 """
 
 import pytest
