@@ -42,6 +42,12 @@ from indextts_tpu.nn import Params
 from indextts_tpu.ops.sampling import sample_logits
 
 
+# set by the pipeline (or tests) when tp>1 decode should run the tp=2
+# fused kernel under shard_map (INDEXTTS_TP_DECODE=kernel); read at trace
+# time by _decode_step. None = single-device kernel / GSPMD fallback.
+TP_MESH = None
+
+
 def _fused_decode_ok(params: Params, dims: GPT2Dims, B: int,
                      kv_quant: bool, beam: bool = False) -> bool:
     """Route the decode step through the fused multi-layer Pallas kernel
@@ -65,8 +71,17 @@ def _fused_decode_ok(params: Params, dims: GPT2Dims, B: int,
     try:
         ca = params["gpt"]["h"]["attn"]["c_attn"]
         quantized = "q" in ca or "q4" in ca
+        tp_layout = "q" in ca and ca["q"].ndim == 4
     except (KeyError, TypeError):
-        quantized = False
+        quantized = tp_layout = False
+    # tp-kernel mode: the pipeline stored the qkv stack in the head-aligned
+    # (L, D, 3, D) layout and set TP_MESH — run the tp=2 shard_map kernel
+    # (ops/pallas/decode_step_tp.py). Beam ancestry and int8 KV keep their
+    # proven single-device paths; under tp they use the XLA fallback.
+    if tp_layout:
+        ok = (TP_MESH is not None and not beam and not kv_quant
+              and B <= 24 and dims.dim % 1280 == 0)
+        return "tp" if ok else False
     # int8 KV rides the fused kernel too (flat int8 cache + packed scale
     # rows, dequant folded into the in-VMEM score/prob tensors); in beam
     # mode the values are cast to bf16 (exact) before ancestry selection
@@ -85,6 +100,19 @@ def _cache_len(P: int, span: int, fused: bool) -> int:
 
 def _decode_step(fused: bool, params: Params, x, dims: GPT2Dims, pos, kv,
                  kv_valid, anc=None, group: int = 1):
+    if fused == "tp":
+        import os
+
+        from indextts_tpu import nn
+        from indextts_tpu.ops.pallas.decode_step_tp import tp_decode_step
+        from jax.experimental.pallas import tpu as pltpu
+
+        interp = os.environ.get("INDEXTTS_FUSED_DECODE", "0") == "interp"
+        h, kv = tp_decode_step(TP_MESH, params["gpt"], x, dims, pos, kv,
+                               kv_valid,
+                               interpret=pltpu.InterpretParams() if interp
+                               else False)
+        return nn.layer_norm(params["gpt"]["ln_f"], h), kv
     if fused:
         import os
 

@@ -92,6 +92,18 @@ def dense_init(rng: InitRng, in_dim: int, out_dim: int, bias: bool = True,
 
 def dense(p: Params, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
     dtype = dtype or x.dtype
+    # tp-kernel storage keeps packed qkv as (in, 3, out) with (3, out)
+    # scale/bias (ops/pallas/decode_step_tp.gpt_tp_layout); the XLA paths
+    # consume it through a trailing-dim flatten (pure reshape, same bytes)
+    def w2(w):
+        return w.reshape(w.shape[0], -1) if w.ndim == 3 else w
+
+    def v1(v):
+        return v.reshape(-1) if v.ndim == 2 else v
+
+    p = {k: (w2(v) if k in ("q", "q4", "kernel") else
+             v1(v) if k in ("scale", "bias") else v)
+         for k, v in p.items()}
     if "q" in p:
         # weight-only int8: HBM holds int8 (2x less traffic than bf16);
         # dequant fuses into the matmul, per-out-channel scale applies after

@@ -91,6 +91,12 @@ def _spec_for_path(path: str, leaf) -> P:
     # quantized trees store the kernel as "q" with a per-channel "scale"
     # shaped like the bias — shard them the same way.
     if ".h." in path or path.startswith("h."):
+        if "c_attn" in path and ndim == 4:
+            # tp-kernel storage (L, D, 3, D): last-axis shards are
+            # head-aligned (q_t | k_t | v_t) — decode_step_tp.gpt_tp_layout
+            return spec(None, None, None, "tp")
+        if "c_attn" in path and path.endswith(("bias", "scale")) and ndim == 3:
+            return spec(None, None, "tp")
         if "c_attn" in path or "c_fc" in path:
             if path.endswith(("kernel", "q", "q4")) and ndim == 3:
                 return spec(None, None, "tp")

@@ -59,3 +59,39 @@ def test_full_pipeline_dp_padding(model_dir, kw):
     sr_m, wav_m = sharded.infer(text=text, **kw)
     assert sr_m == sr_s
     assert wav_m.shape == wav_s.shape
+
+
+def test_tp_kernel_optin_falls_back_cleanly(model_dir, kw, monkeypatch):
+    """INDEXTTS_TP_DECODE=kernel on a tp=2 mesh stores the qkv stack in the
+    head-aligned (L, D, 3, D) layout and points the engine at the mesh; at
+    tiny dims the kernel geometry gate (D % 1280) rejects it, so decode
+    falls back to the XLA path — which must consume the 4D layout through
+    nn.dense's trailing-dim flatten and match the canonical-layout run."""
+    import jax.numpy as jnp
+
+    from indextts_tpu.engine import decode as dec
+    from indextts_tpu.parallel.mesh import make_mesh
+
+    text = "hello world . the cat ."
+    base = IndexTTS2(cfg_path=None, model_dir=model_dir, cfg=tiny_config(),
+                     dtype=jnp.float32, mesh=make_mesh(4, tp=2),
+                     quantization="int8")
+    sr_s, wav_s = base.infer(text=text, **kw)
+
+    monkeypatch.setenv("INDEXTTS_TP_DECODE", "kernel")
+    # the non-opt-in tp instance above disabled the fused kernel by env
+    # (its fallback mechanism is process-wide); re-arm it for this instance
+    monkeypatch.setenv("INDEXTTS_FUSED_DECODE", "1")
+    tpk = IndexTTS2(cfg_path=None, model_dir=model_dir, cfg=tiny_config(),
+                    dtype=jnp.float32, mesh=make_mesh(4, tp=2),
+                    quantization="int8")
+    try:
+        assert dec.TP_MESH is not None  # pipeline armed the kernel mode
+        ca = tpk.gpt_params["gpt"]["h"]["attn"]["c_attn"]
+        assert ca["q"].ndim == 4  # head-aligned storage
+        sr_m, wav_m = tpk.infer(text=text, **kw)
+    finally:
+        dec.TP_MESH = None
+    assert sr_m == sr_s and wav_m.shape == wav_s.shape
+    np.testing.assert_allclose(wav_m.astype(np.float32),
+                               wav_s.astype(np.float32), atol=2.0)
