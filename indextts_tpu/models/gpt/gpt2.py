@@ -311,6 +311,132 @@ def gpt2_prefill(params: Params, x: jnp.ndarray, dims: GPT2Dims,
     return nn.layer_norm(params["ln_f"], x), new_cache
 
 
+def _kv_dequant_flat(q8: jnp.ndarray, kvs: jnp.ndarray, heads: int,
+                     offset: int, dtype) -> jnp.ndarray:
+    """Dequant a flat int8 cache slice (B, S, D) against the packed bf16
+    scale rows (B, S, 256); k-scales live on lanes [0, H), v-scales on
+    [128, 128+H) (`offset` selects which)."""
+    B, S, D = q8.shape
+    Dh = D // heads
+    scale = kvs[..., offset:offset + heads].astype(jnp.float32)
+    x = q8.reshape(B, S, heads, Dh).astype(jnp.float32) * scale[..., None]
+    return x.reshape(B, S, D).astype(dtype)
+
+
+def gpt2_chunk_step(params: Params, x: jnp.ndarray, dims: GPT2Dims,
+                    pos0: jnp.ndarray, kv_cache: Dict,
+                    kv_valid: jnp.ndarray) -> Tuple[jnp.ndarray, Dict]:
+    """G-token decode step — the speculative-decode verify primitive.
+
+    x: (B, G, D) embeddings of G CONSECUTIVE tokens (positions already
+    added); their K/V are written at cache slots [pos0, pos0+G), and query
+    g attends every `kv_valid` slot plus chunk slots pos0..pos0+g (the
+    caller passes kv_valid WITHOUT the chunk slots and commits only the
+    accepted ones afterwards). Returns (hidden (B, G, D) after ln_f,
+    updated cache).
+
+    Why it exists: one pass streams the layer weights ONCE for G tokens,
+    where G single `gpt2_decode_step`s stream them G times — at B=1 the
+    decode loop is weight-DMA bound (483 MB/token int8 at full scale), so
+    verifying G drafted tokens costs ~1 step's DMA instead of G. The
+    reference has no analogue (its HF `generate` is strictly one token per
+    forward); this is the TPU-native lever the round-4 floor analysis
+    (docs/KERNELS.md §1) identified as the only way under the B=1 DMA
+    floor. Cache layouts and quantization variants mirror `gpt2_prefill` /
+    `gpt2_decode_step` exactly.
+    """
+    B, G, D = x.shape
+    quantized = "ks" in kv_cache or "kvs" in kv_cache
+    flat = kv_cache["k"].ndim == 4
+    S = kv_cache["k"].shape[2]
+
+    # (B, 1, G, S) mask: valid committed slots OR intra-chunk causal slots
+    iota_s = jnp.arange(S)
+    iota_g = jnp.arange(G)
+    chunk_ok = jnp.logical_and(iota_s[None, :] >= pos0,
+                               iota_s[None, :] <= pos0 + iota_g[:, None])
+    mask = jnp.logical_or(kv_valid[:, None, None, :], chunk_ok[None, None])
+
+    def body(carry, inputs):
+        xc, cache = carry                                 # xc: (B, G, D)
+        lp, li = inputs
+        h = nn.layer_norm(lp["ln_1"], xc)
+        qkv = nn.dense(lp["attn"]["c_attn"], h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        cache = dict(cache)
+        if flat:
+            if quantized:
+                kq, vq, kvs = kv_quantize_flat(k, v, dims.heads)
+                cache["k"] = jax.lax.dynamic_update_slice(
+                    cache["k"], kq[None], (li, 0, pos0, 0))
+                cache["v"] = jax.lax.dynamic_update_slice(
+                    cache["v"], vq[None], (li, 0, pos0, 0))
+                cache["kvs"] = jax.lax.dynamic_update_slice(
+                    cache["kvs"], kvs[None], (li, 0, pos0, 0))
+                k8 = jax.lax.dynamic_index_in_dim(cache["k"], li, 0, False)
+                v8 = jax.lax.dynamic_index_in_dim(cache["v"], li, 0, False)
+                sc = jax.lax.dynamic_index_in_dim(cache["kvs"], li, 0, False)
+                kc = _kv_dequant_flat(k8, sc, dims.heads, 0, xc.dtype)
+                vc = _kv_dequant_flat(v8, sc, dims.heads, 128, xc.dtype)
+            else:
+                cache["k"] = jax.lax.dynamic_update_slice(
+                    cache["k"], k.astype(cache["k"].dtype)[None],
+                    (li, 0, pos0, 0))
+                cache["v"] = jax.lax.dynamic_update_slice(
+                    cache["v"], v.astype(cache["v"].dtype)[None],
+                    (li, 0, pos0, 0))
+                kc = jax.lax.dynamic_index_in_dim(cache["k"], li, 0, False)
+                vc = jax.lax.dynamic_index_in_dim(cache["v"], li, 0, False)
+            kc = kc.reshape(B, S, dims.heads, dims.head_dim)
+            vc = vc.reshape(B, S, dims.heads, dims.head_dim)
+        else:
+            k4 = k.reshape(B, G, dims.heads, dims.head_dim)
+            v4 = v.reshape(B, G, dims.heads, dims.head_dim)
+            if quantized:
+                kq, ks = _kv_quantize(k4)
+                vq, vs = _kv_quantize(v4)
+                cache["k"] = jax.lax.dynamic_update_slice(
+                    cache["k"], kq[None], (li, 0, pos0, 0, 0))
+                cache["v"] = jax.lax.dynamic_update_slice(
+                    cache["v"], vq[None], (li, 0, pos0, 0, 0))
+                cache["ks"] = jax.lax.dynamic_update_slice(
+                    cache["ks"], ks[None], (li, 0, pos0, 0))
+                cache["vs"] = jax.lax.dynamic_update_slice(
+                    cache["vs"], vs[None], (li, 0, pos0, 0))
+                kc = _kv_dequant(
+                    jax.lax.dynamic_index_in_dim(cache["k"], li, 0, False),
+                    jax.lax.dynamic_index_in_dim(cache["ks"], li, 0, False),
+                    xc.dtype)
+                vc = _kv_dequant(
+                    jax.lax.dynamic_index_in_dim(cache["v"], li, 0, False),
+                    jax.lax.dynamic_index_in_dim(cache["vs"], li, 0, False),
+                    xc.dtype)
+            else:
+                cache["k"] = jax.lax.dynamic_update_slice(
+                    cache["k"], k4.astype(cache["k"].dtype)[None],
+                    (li, 0, pos0, 0, 0))
+                cache["v"] = jax.lax.dynamic_update_slice(
+                    cache["v"], v4.astype(cache["v"].dtype)[None],
+                    (li, 0, pos0, 0, 0))
+                kc = jax.lax.dynamic_index_in_dim(cache["k"], li, 0, False)
+                vc = jax.lax.dynamic_index_in_dim(cache["v"], li, 0, False)
+        qh = q.reshape(B, G, dims.heads, dims.head_dim).transpose(0, 2, 1, 3)
+        kh = kc.transpose(0, 2, 1, 3)                     # (B, H, S, Dh)
+        vh = vc.transpose(0, 2, 1, 3)
+        out = nn.mha(qh, kh.astype(qh.dtype), vh.astype(qh.dtype), mask=mask)
+        out = out.transpose(0, 2, 1, 3).reshape(B, G, D)
+        xc = xc + nn.dense(lp["attn"]["c_proj"], out)
+        h = nn.layer_norm(lp["ln_2"], xc)
+        h = nn.gelu_new(nn.dense(lp["mlp"]["c_fc"], h))
+        xc = xc + nn.dense(lp["mlp"]["c_proj"], h)
+        return (xc, cache), None
+
+    (x, new_cache), _ = jax.lax.scan(
+        body, (x, {key: kv_cache[key] for key in kv_cache}),
+        (params["h"], jnp.arange(dims.layers)))
+    return nn.layer_norm(params["ln_f"], x), new_cache
+
+
 def gpt2_decode_step(params: Params, x: jnp.ndarray, dims: GPT2Dims,
                      pos: jnp.ndarray, kv_cache: Dict,
                      kv_valid: jnp.ndarray) -> Tuple[jnp.ndarray, Dict]:

@@ -877,7 +877,24 @@ class IndexTTS2:
                 B_rows = pe.shape[0]
                 chunk = (int(os.environ.get("INDEXTTS_DECODE_CHUNK", "0"))
                          or 24)
-                if B_rows > chunk and self.mesh is None:
+                spec_gamma = int(os.environ.get("INDEXTTS_SPEC_DECODE", "0"))
+                if B_rows == 1 and spec_gamma > 0 and self.mesh is None:
+                    # opt-in speculative (prompt-lookup) decode: B=1 is
+                    # weight-DMA bound (483 MB/token int8), so verifying
+                    # gamma drafted codes with ONE chunk forward streams the
+                    # weights once per accepted run instead of per token.
+                    # Token semantics match generate() (same sampler chain;
+                    # tests/test_speculative.py); win scales with the mel
+                    # codes' local repetitiveness (docs/KERNELS.md §1).
+                    from indextts_tpu.engine.speculative import generate_spec
+
+                    batch_codes, batch_code_lens = generate_spec(
+                        self.gpt_params, self.cfg.gpt, self.gpt_dims, pe, pm,
+                        self._next_rng(), max_new_tokens=max_mel_tokens,
+                        sampling=sampling, dtype=self.dtype,
+                        gamma=spec_gamma,
+                        ngram=int(os.environ.get("INDEXTTS_SPEC_NGRAM", "2")))
+                elif B_rows > chunk and self.mesh is None:
                     # ONE _next_rng() split across chunks: the host rng
                     # stream advances exactly as in the unchunked call, so
                     # the downstream CFM noise (and greedy audio) match

@@ -212,3 +212,22 @@ def test_sampling_chunked_matches_unchunked(tts, model_dir, monkeypatch):
     sr_b, wav_b = tts.infer(**kw)
     assert sr_a == sr_b
     np.testing.assert_array_equal(wav_a, wav_b)
+
+
+def test_spec_decode_matches_baseline(tts, model_dir, monkeypatch):
+    """INDEXTTS_SPEC_DECODE (B=1 speculative prompt-lookup decode) must be
+    audio-identical to the baseline path: the committed tokens replay the
+    sequential sampler exactly (tests/test_speculative.py pins the engine;
+    this pins the pipeline wiring, including the rng-stream accounting)."""
+    import jax
+
+    kw = dict(spk_audio_prompt=os.path.join(model_dir, "prompt.wav"),
+              text="hello world cat .", output_path=None, max_mel_tokens=16,
+              num_beams=1, do_sample=False, verbose=False)
+    tts._rng = jax.random.PRNGKey(6)
+    sr_a, wav_a = tts.infer(**kw)
+    monkeypatch.setenv("INDEXTTS_SPEC_DECODE", "3")
+    tts._rng = jax.random.PRNGKey(6)
+    sr_b, wav_b = tts.infer(**kw)
+    assert sr_a == sr_b
+    np.testing.assert_array_equal(wav_a, wav_b)
