@@ -130,6 +130,30 @@ def main():
                                 max_new_tokens=N_TOK, sampling=sampling,
                                 gamma=8, ngram=2))
 
+    # GREEDY oracle: under temperature sampling the chunk program's float
+    # reassociation flips a sampled token within a few steps, after which
+    # forced oracle drafts never match again — the sampled "oracle" row
+    # above measures full-REJECT, not full-accept. Greedy argmax is robust
+    # to reassociation noise (ties at bf16 scale are rare), so the greedy
+    # oracle demonstrates the realized full-accept throughput dynamically.
+    greedy = SamplingConfig(do_sample=False, min_new_tokens=N_TOK)
+    t_gb, toks_gb = timed(
+        "base  greedy", lambda: generate(params, cfg, dims, emb, mask, key,
+                                         max_new_tokens=N_TOK,
+                                         sampling=greedy))
+    goracle = jnp.asarray(toks_gb[0], jnp.int32)
+    for gamma in (4, 8):
+        t_go, toks_go = timed(
+            f"g-orc  g={gamma} ",
+            lambda g=gamma: generate_spec(params, cfg, dims, emb, mask, key,
+                                          max_new_tokens=N_TOK,
+                                          sampling=greedy, gamma=g,
+                                          forced=True, draft_source=goracle))
+        agree = float((toks_go[0] == toks_gb[0]).mean())
+        print(f"  greedy g={gamma}: full-accept {t_go / N_TOK * 1e3:.2f} "
+              f"ms/token ({t_gb / N_TOK * 1e3:.2f} base), agreement "
+              f"{agree:.3f}", flush=True)
+
 
 if __name__ == "__main__":
     main()
