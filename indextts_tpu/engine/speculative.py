@@ -106,8 +106,11 @@ def generate_spec(params: Params, cfg: GPTConfig, dims: GPT2Dims,
     instead of prompt lookup — the test/bench hook: oracle drafts (the
     sequence the sequential sampler emits) exercise full-accept, adversarial
     drafts exercise full-reject; output must equal `generate()` either way.
-    Returns (codes (1, max_new_tokens), lengths (1,)) with `generate()`'s
-    contract.
+    Returns (codes (1, max_new_tokens), lengths (1,), stats (3,) int32)
+    where stats = [chunk verifies, tokens committed by chunks, single-step
+    fallbacks] — the acceptance observability a deployment needs to decide
+    whether speculation clears break-even (docs/KERNELS.md §1): per-draft
+    acceptance ≈ (stats[1] - stats[0]) / (stats[0] * gamma).
     """
     B, P, D = prefix_embeds.shape
     assert B == 1, "speculative decode is a B=1 (single-segment) path"
@@ -165,7 +168,8 @@ def generate_spec(params: Params, cfg: GPTConfig, dims: GPT2Dims,
 
     def single_branch(state):
         """One token — exactly generate()'s loop body."""
-        step, tokens, counts, kv, kv_valid, finished, lengths, rng, _ = state
+        (step, tokens, counts, kv, kv_valid, finished, lengths, rng, _,
+         stats) = state
         prev_tok = tokens[:, step - 1]
         x = _embed_mel_token(params, prev_tok, step + 1, dtype)
         pos = P + 1 + step
@@ -181,12 +185,14 @@ def generate_spec(params: Params, cfg: GPTConfig, dims: GPT2Dims,
         lengths = jnp.where(newly, step, lengths)
         finished = jnp.logical_or(finished, tok == stop)
         return (step + 1, tokens, counts, kv, kv_valid, finished, lengths,
-                rng, jnp.zeros((gamma,), jnp.int32))
+                rng, jnp.zeros((gamma,), jnp.int32),
+                stats + jnp.asarray([0, 0, 1], jnp.int32))
 
     def chunk_branch(state):
         """Verify gamma drafted tokens with one chunk forward; commit the
         matching prefix plus the first correction token."""
-        step, tokens, counts, kv, kv_valid, finished, lengths, rng, draft = state
+        (step, tokens, counts, kv, kv_valid, finished, lengths, rng, draft,
+         stats) = state
         prev_tok = tokens[:, step - 1]                       # (1,)
         ids = jnp.concatenate([prev_tok, draft])             # (G1,)
         emb = params["mel_embedding"]["weight"].astype(dtype)[ids]
@@ -236,14 +242,16 @@ def generate_spec(params: Params, cfg: GPTConfig, dims: GPT2Dims,
                             step + n, lengths)
         finished = jnp.logical_or(finished, fin_new)
         return (step + m, tokens, counts_f, kv, kv_valid, finished, lengths,
-                rng, jnp.zeros((gamma,), jnp.int32))
+                rng, jnp.zeros((gamma,), jnp.int32),
+                stats + jnp.stack([jnp.int32(1), m, jnp.int32(0)]))
 
     def cond(state):
-        step, _, _, _, _, finished, _, _, _ = state
+        step, _, _, _, _, finished, _, _, _, _ = state
         return jnp.logical_and(step < max_new_tokens, ~jnp.all(finished))
 
     def body(state):
-        step, tokens, counts, kv, kv_valid, finished, lengths, rng, _ = state
+        (step, tokens, counts, kv, kv_valid, finished, lengths, rng, _,
+         stats) = state
         if forced:
             start = jnp.clip(step, 0, max_new_tokens - gamma)
             draft = jax.lax.dynamic_slice(draft_source, (start,), (gamma,))
@@ -252,11 +260,11 @@ def generate_spec(params: Params, cfg: GPTConfig, dims: GPT2Dims,
             draft, have = _lookup_draft(tokens[0], step, gamma, ngram)
         have = jnp.logical_and(have, step + gamma + 1 <= max_new_tokens)
         state = (step, tokens, counts, kv, kv_valid, finished, lengths, rng,
-                 draft)
+                 draft, stats)
         return jax.lax.cond(have, chunk_branch, single_branch, state)
 
     state = (jnp.int32(1), tokens, counts, kv, kv_valid, finished0, lengths0,
-             rng, jnp.zeros((gamma,), jnp.int32))
-    _, tokens, _, _, _, _, lengths, _, _ = jax.lax.while_loop(cond, body,
-                                                              state)
-    return tokens, jnp.minimum(lengths, max_new_tokens)
+             rng, jnp.zeros((gamma,), jnp.int32), jnp.zeros((3,), jnp.int32))
+    _, tokens, _, _, _, _, lengths, _, _, stats = jax.lax.while_loop(
+        cond, body, state)
+    return tokens, jnp.minimum(lengths, max_new_tokens), stats

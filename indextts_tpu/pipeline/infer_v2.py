@@ -888,12 +888,19 @@ class IndexTTS2:
                     # codes' local repetitiveness (docs/KERNELS.md §1).
                     from indextts_tpu.engine.speculative import generate_spec
 
-                    batch_codes, batch_code_lens = generate_spec(
+                    batch_codes, batch_code_lens, spec_stats = generate_spec(
                         self.gpt_params, self.cfg.gpt, self.gpt_dims, pe, pm,
                         self._next_rng(), max_new_tokens=max_mel_tokens,
                         sampling=sampling, dtype=self.dtype,
                         gamma=spec_gamma,
                         ngram=int(os.environ.get("INDEXTTS_SPEC_NGRAM", "2")))
+                    if verbose:
+                        ch, com, sg = (int(v) for v in np.asarray(spec_stats))
+                        acc = ((com - ch) / (ch * spec_gamma)) if ch else 0.0
+                        print(f">> spec decode: {ch} chunk verifies "
+                              f"committed {com} tokens, {sg} single steps "
+                              f"(per-draft acceptance {acc:.2f}; break-even "
+                              f"~0.5, docs/KERNELS.md §1)")
                 elif B_rows > chunk and self.mesh is None:
                     # ONE _next_rng() split across chunks: the host rng
                     # stream advances exactly as in the unchunked call, so

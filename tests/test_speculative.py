@@ -74,10 +74,11 @@ def _run_both(uv_params, dims, prefix, sampling, seed, max_new=24, gamma=4,
     ref_c, ref_l = generate(uv_params, TINY, dims, emb, mask,
                             jax.random.PRNGKey(seed), max_new_tokens=max_new,
                             sampling=sampling, dtype=jnp.float32)
-    spec_c, spec_l = generate_spec(uv_params, TINY, dims, emb, mask,
-                                   jax.random.PRNGKey(seed),
-                                   max_new_tokens=max_new, sampling=sampling,
-                                   dtype=jnp.float32, gamma=gamma, **spec_kw)
+    spec_c, spec_l, _ = generate_spec(uv_params, TINY, dims, emb, mask,
+                                      jax.random.PRNGKey(seed),
+                                      max_new_tokens=max_new,
+                                      sampling=sampling, dtype=jnp.float32,
+                                      gamma=gamma, **spec_kw)
     return (np.asarray(ref_c), np.asarray(ref_l), np.asarray(spec_c),
             np.asarray(spec_l))
 
@@ -88,12 +89,20 @@ def test_oracle_drafts_match(uv_params, dims, prefix, seed):
     ref_c, ref_l = generate(uv_params, TINY, dims, emb, mask,
                             jax.random.PRNGKey(seed), max_new_tokens=24,
                             sampling=SAMPLING, dtype=jnp.float32)
-    spec_c, spec_l = generate_spec(
+    spec_c, spec_l, stats = generate_spec(
         uv_params, TINY, dims, emb, mask, jax.random.PRNGKey(seed),
         max_new_tokens=24, sampling=SAMPLING, dtype=jnp.float32, gamma=4,
         forced=True, draft_source=ref_c[0])
     np.testing.assert_array_equal(np.asarray(spec_c), np.asarray(ref_c))
     np.testing.assert_array_equal(np.asarray(spec_l), np.asarray(ref_l))
+    chunks, committed, singles = (int(v) for v in np.asarray(stats))
+    # oracle drafts fully accept (gamma+1 = 5 tokens per chunk verify); a
+    # no-early-stop run is deterministic: tok0 at prefill, chunks at steps
+    # 1/6/11/16, then the step+gamma+1 > 24 cap forces 3 single tail steps
+    if int(np.asarray(ref_l)[0]) == 24:
+        assert (chunks, committed, singles) == (4, 20, 3)
+    else:
+        assert chunks > 0 and committed >= chunks
 
 
 @pytest.mark.parametrize("seed", [0, 5])
@@ -105,12 +114,15 @@ def test_adversarial_drafts_match(uv_params, dims, prefix, seed):
                             jax.random.PRNGKey(seed), max_new_tokens=24,
                             sampling=SAMPLING, dtype=jnp.float32)
     bad = (np.asarray(ref_c)[0] + 13) % (TINY.number_mel_codes - 2)
-    spec_c, spec_l = generate_spec(
+    spec_c, spec_l, stats = generate_spec(
         uv_params, TINY, dims, emb, mask, jax.random.PRNGKey(seed),
         max_new_tokens=24, sampling=SAMPLING, dtype=jnp.float32, gamma=4,
         forced=True, draft_source=jnp.asarray(bad, jnp.int32))
     np.testing.assert_array_equal(np.asarray(spec_c), np.asarray(ref_c))
     np.testing.assert_array_equal(np.asarray(spec_l), np.asarray(ref_l))
+    chunks, committed, singles = (int(v) for v in np.asarray(stats))
+    # full-reject: every chunk verify commits exactly its correction token
+    assert chunks > 0 and committed == chunks
 
 
 @pytest.mark.parametrize("seed,gamma,ngram", [(0, 4, 2), (2, 6, 3), (9, 3, 2)])
@@ -203,10 +215,13 @@ def test_spec_interp_fused_composition(monkeypatch):
     for kw in (dict(),
                dict(forced=True,
                     draft_source=jnp.full((16,), 7, jnp.int32))):
-        c1, l1 = generate_spec(params, cfg, dims_, emb, mask, key,
-                               max_new_tokens=16, sampling=s, gamma=3, **kw)
-        c2, l2 = generate_spec(params, cfg, dims_, emb, mask, key,
-                               max_new_tokens=16, sampling=s, gamma=3, **kw)
+        c1, l1, st1 = generate_spec(params, cfg, dims_, emb, mask, key,
+                                    max_new_tokens=16, sampling=s, gamma=3,
+                                    **kw)
+        c2, l2, st2 = generate_spec(params, cfg, dims_, emb, mask, key,
+                                    max_new_tokens=16, sampling=s, gamma=3,
+                                    **kw)
+        np.testing.assert_array_equal(np.asarray(st1), np.asarray(st2))
         c1, l1 = np.asarray(c1), np.asarray(l1)
         np.testing.assert_array_equal(c1, np.asarray(c2))
         np.testing.assert_array_equal(l1, np.asarray(l2))

@@ -8,9 +8,16 @@ Measures, in ONE process (min of 3 each), 500 pinned tokens, P=120 prefix:
   adv g=G     generate_spec forced with never-matching drafts — every chunk
               commits exactly 1 token, so ms/token == the chunk-program cost
               c(G) (the speculation overhead ceiling)
-  oracle g=G  generate_spec forced with the base run's own tokens — chunks
-              accept fully (modulo float-flip resampling), so ms/token ==
-              c(G)/(G+1) (the full-accept floor)
+  oracle g=G  generate_spec forced with the base run's own tokens. NOTE
+              (measured r4): with RANDOM weights this measures full-REJECT,
+              not full-accept — the chunk program's float reassociation
+              flips the sampled token within a few steps (agreement 0.008
+              sampled / 0.052 greedy; the top-2 gap among 8194 ~Gaussian
+              logits is order-statistic-tiny, so even argmax is
+              tie-dominated). Real checkpoints' peaked logits don't have
+              this property; the full-accept floor is the arithmetic
+              c(G)/(G+1), and dynamic multi-commit correctness is pinned on
+              the CPU lane (tests/test_speculative.py).
   lookup g=G  real prompt-lookup drafting on the random-weight token stream
               (acceptance is content-dependent; random-weight samples almost
               never match, so this measures the fallback path + lookup cost)
@@ -87,9 +94,9 @@ def main():
             best = dt if best is None else min(best, dt)
         print(f"{label}: {best:.3f} s = {best / N_TOK * 1e3:.2f} ms/token "
               f"(min of 3)", flush=True)
-        return best, np.asarray(out[0])
+        return best, np.asarray(out[0]), out
 
-    t_base, toks_base = timed(
+    t_base, toks_base, _ = timed(
         "base       ", lambda: generate(params, cfg, dims, emb, mask, key,
                                         max_new_tokens=N_TOK,
                                         sampling=sampling))
@@ -98,13 +105,13 @@ def main():
                       % (cfg.number_mel_codes - 2), jnp.int32)
 
     for gamma in (4, 8):
-        t_adv, _ = timed(
+        t_adv, _, _ = timed(
             f"adv    g={gamma} ",
             lambda g=gamma: generate_spec(params, cfg, dims, emb, mask, key,
                                           max_new_tokens=N_TOK,
                                           sampling=sampling, gamma=g,
                                           forced=True, draft_source=adv))
-        t_orc, toks_orc = timed(
+        t_orc, toks_orc, _ = timed(
             f"oracle g={gamma} ",
             lambda g=gamma: generate_spec(params, cfg, dims, emb, mask, key,
                                           max_new_tokens=N_TOK,
@@ -125,25 +132,32 @@ def main():
               f"{t_orc / N_TOK * 1e3:.2f} ms/token, token agreement vs base "
               f"{agree:.3f}, break-even acceptance ~{a:.2f}", flush=True)
 
-    timed("lookup g=8 ",
-          lambda: generate_spec(params, cfg, dims, emb, mask, key,
-                                max_new_tokens=N_TOK, sampling=sampling,
-                                gamma=8, ngram=2))
+    def spec_stats(label, out):
+        chunks, committed, singles = (int(v) for v in np.asarray(out[2]))
+        acc = ((committed - chunks) / (chunks * 8)) if chunks else 0.0
+        print(f"  {label}: {chunks} chunks committed {committed}, "
+              f"{singles} singles -> per-draft acceptance {acc:.3f}",
+              flush=True)
 
-    # GREEDY oracle: under temperature sampling the chunk program's float
-    # reassociation flips a sampled token within a few steps, after which
-    # forced oracle drafts never match again — the sampled "oracle" row
-    # above measures full-REJECT, not full-accept. Greedy argmax is robust
-    # to reassociation noise (ties at bf16 scale are rare), so the greedy
-    # oracle demonstrates the realized full-accept throughput dynamically.
+    _, _, out_lk = timed(
+        "lookup g=8 ",
+        lambda: generate_spec(params, cfg, dims, emb, mask, key,
+                              max_new_tokens=N_TOK, sampling=sampling,
+                              gamma=8, ngram=2))
+    spec_stats("lookup g=8", out_lk)
+
+    # GREEDY oracle rows: kept to DOCUMENT that greedy argmax does not fix
+    # the random-weight tie problem (measured agreement 0.052 — still
+    # full-reject); on a real checkpoint these rows demonstrate realized
+    # full-accept throughput dynamically.
     greedy = SamplingConfig(do_sample=False, min_new_tokens=N_TOK)
-    t_gb, toks_gb = timed(
+    t_gb, toks_gb, _ = timed(
         "base  greedy", lambda: generate(params, cfg, dims, emb, mask, key,
                                          max_new_tokens=N_TOK,
                                          sampling=greedy))
     goracle = jnp.asarray(toks_gb[0], jnp.int32)
     for gamma in (4, 8):
-        t_go, toks_go = timed(
+        t_go, toks_go, _ = timed(
             f"g-orc  g={gamma} ",
             lambda g=gamma: generate_spec(params, cfg, dims, emb, mask, key,
                                           max_new_tokens=N_TOK,
