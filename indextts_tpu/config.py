@@ -455,8 +455,12 @@ class EngineConfig:
     # multiples of 128 so padded mel/CFM/vocoder work tracks the true length
     # closely (a 344-frame target pads to 384, not 512); buckets compile
     # lazily, so unused sizes cost nothing
+    # extends through the reference's serving envelope: max_mel_tokens=1500
+    # codes -> 2581 mel frames (infer_v2.py:534, mel_per_code 1.72) needs the
+    # 2688 bucket; the DiT block_size is 16384 so nothing above caps it
     mel_len_buckets: Tuple[int, ...] = (128, 256, 384, 512, 640, 768, 896,
-                                        1024, 1280, 1536, 2048)
+                                        1024, 1280, 1536, 2048, 2304, 2688,
+                                        3072)
     cond_len_buckets: Tuple[int, ...] = (128, 256, 512, 768)
     max_decode_tokens: int = 1500
     dtype: str = "bfloat16"

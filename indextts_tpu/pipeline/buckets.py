@@ -9,17 +9,31 @@ to sequence lengths.
 
 from __future__ import annotations
 
+import warnings
 from typing import Sequence, Tuple
 
 import numpy as np
 
 
 def pick_bucket(n: int, buckets: Sequence[int]) -> int:
-    """Smallest bucket >= n (last bucket if none fits — callers must cap)."""
+    """Smallest bucket >= n; past the table, ceil to the next multiple of 128.
+
+    Never returns a bucket smaller than ``n``: the old behavior (silently
+    returning the last bucket) truncated any request past the table — at the
+    reference's default decode cap of 1500 codes
+    (`/root/reference/indextts/infer_v2.py:534`) that dropped 21% of the
+    audio. Buckets compile lazily, so an off-table size costs one ad-hoc
+    compile instead of lost output; a RuntimeWarning flags the config gap.
+    """
     for b in buckets:
         if n <= b:
             return b
-    return buckets[-1]
+    up = -(-int(n) // 128) * 128
+    warnings.warn(
+        f"length {n} exceeds the largest configured bucket {buckets[-1]}; "
+        f"compiling an ad-hoc {up}-frame bucket (extend the bucket table "
+        f"to avoid recompiles)", RuntimeWarning)
+    return up
 
 
 def pad_to(x: np.ndarray, length: int, axis: int = -1, value=0) -> np.ndarray:
