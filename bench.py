@@ -89,6 +89,8 @@ def main():
     print(f"devices: {jax.devices()} quant={quant}", file=sys.stderr)
     tts = IndexTTS2(cfg_path=None, model_dir=d, quantization=quant)
 
+    last = {}  # wav of the most recent run (device-side quality rows)
+
     def run(text, num_beams=1, mel_cap=None):
         # deterministic decode: with random weights the sampled code length
         # (and therefore the compile bucket) would otherwise drift between
@@ -106,6 +108,7 @@ def main():
                              num_beams=num_beams, verbose=False)
         dt = time.perf_counter() - t0
         secs = data.shape[0] / sr
+        last["wav"] = data[:, 0].astype(np.float32) / 32768.0
         return dt, secs
 
     # warmup: compiles every stage program
@@ -143,6 +146,32 @@ def main():
         single_rtf = r if single_rtf is None else min(single_rtf, r)
         print(f"single-segment: {dt:.2f}s wall for {secs:.2f}s audio -> "
               f"RTF {r:.4f}", file=sys.stderr)
+
+    # spec-decode A/B (r5): single-segment decode runs the DEFAULT-ON
+    # self-gating speculative decoder (single_rtf above); random weights are
+    # its adversarial case (codes never repeat, the gate demotes after the
+    # 64-token probe span), so default-vs-off here measures the WORST-CASE
+    # cost of shipping it on. Real-checkpoint acceptance decides the upside
+    # (full-accept floor 0.19 ms/token, docs/KERNELS.md §1).
+    spec_block = None
+    try:
+        os.environ["INDEXTTS_SPEC_DECODE"] = "0"
+        run(text_short)  # compile the plain-path programs
+        plain_rtf = None
+        for _ in range(3):
+            dt, secs = run(text_short)
+            r = dt / max(secs, 1e-6)
+            plain_rtf = r if plain_rtf is None else min(plain_rtf, r)
+        overhead = (single_rtf / plain_rtf - 1.0) * 100.0
+        spec_block = {"single_plain_rtf": round(plain_rtf, 5),
+                      "worst_case_overhead_pct": round(overhead, 2)}
+        print(f"spec-decode A/B: default(on) {single_rtf:.4f} vs off "
+              f"{plain_rtf:.4f} -> worst-case overhead {overhead:+.1f}%",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"spec-decode A/B failed: {e!r}", file=sys.stderr)
+    finally:
+        os.environ.pop("INDEXTTS_SPEC_DECODE", None)
 
     # reference DEFAULT serving config: num_beams=3 (infer_v2.py:532).
     # warm once, then min of 2 (compile bucket differs from beams=1)
@@ -234,6 +263,46 @@ def main():
     except Exception as e:
         print(f"first-audio measurement failed: {e!r}", file=sys.stderr)
 
+    # device-side quality rows (r5, VERDICT item 7): every DEFAULT kernel
+    # gets a quality lane in the same artifact as its speed — packed-pair
+    # DiT attention vs dense (MCD of the single-segment wav) and the
+    # in-kernel beam-ancestry path vs the per-step cache gather (designed
+    # bit-identical; recorded as exact match + MCD)
+    dev_quality = {}
+    try:
+        from indextts_tpu.utils.metrics import mcd as _mcd
+
+        run(text_short)
+        wav_default = last["wav"]
+        os.environ["INDEXTTS_PACKED_ATTN"] = "0"
+        run(text_short)
+        m_attn = float(_mcd(wav_default, last["wav"], sr=22050))
+        dev_quality["mcd_packed_attn_vs_dense"] = round(m_attn, 3)
+        print(f"quality: packed-attn vs dense MCD {m_attn:.3f} dB",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"packed-attn quality row failed: {e!r}", file=sys.stderr)
+    finally:
+        os.environ.pop("INDEXTTS_PACKED_ATTN", None)
+    try:
+        from indextts_tpu.utils.metrics import mcd as _mcd
+
+        run(text_short, num_beams=3)
+        wav_anc = last["wav"]
+        os.environ["INDEXTTS_BEAM_ANC"] = "0"
+        run(text_short, num_beams=3)
+        m_beam = float(_mcd(wav_anc, last["wav"], sr=22050))
+        dev_quality["beam_anc_audio_match"] = bool(
+            np.array_equal(wav_anc, last["wav"]))
+        dev_quality["mcd_beam_anc_vs_gather"] = round(m_beam, 3)
+        print(f"quality: beam anc vs gather MCD {m_beam:.3f} dB, exact "
+              f"match {dev_quality['beam_anc_audio_match']}",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"beam-anc quality row failed: {e!r}", file=sys.stderr)
+    finally:
+        os.environ.pop("INDEXTTS_BEAM_ANC", None)
+
     # quality block (VERDICT r3 item 8): tiny-lane checkpoint-free MCD +
     # logit-agreement gates for the shipping quant config, via a CPU
     # subprocess so a quantization regression is visible in the same
@@ -244,11 +313,19 @@ def main():
 
         proc = subprocess.run(
             [sys.executable, "eval/quality_gate.py"], cwd="/root/repo",
-            capture_output=True, text=True, timeout=1200)
+            capture_output=True, text=True, timeout=1800)
         quality = json.loads(proc.stdout.strip().splitlines()[-1])
+        quality.update(dev_quality)
+        thr = quality.get("threshold_db", 8.0)
+        quality["ok"] = bool(
+            quality["ok"]
+            and dev_quality.get("mcd_packed_attn_vs_dense", 0.0) <= thr
+            and dev_quality.get("mcd_beam_anc_vs_gather", 0.0) <= thr)
         print(f"quality gate: {quality}", file=sys.stderr)
     except Exception as e:
         print(f"quality gate failed: {e!r}", file=sys.stderr)
+        if dev_quality:
+            quality = dict(dev_quality)
 
     target = 0.05
     print(json.dumps({
@@ -266,6 +343,7 @@ def main():
         "beams3_longform_over_beams1": (round(beams3_long_rtf / best, 3)
                                         if beams3_long_rtf else None),
         "serving_cap_rtf": serving_cap_rtf,
+        "spec_decode": spec_block,
         "stages": stages,
         "single_stages": single_stages,
         "serving_cap_stages": cap_stages,

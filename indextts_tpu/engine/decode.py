@@ -76,11 +76,16 @@ def _fused_decode_ok(params: Params, dims: GPT2Dims, B: int,
         quantized = tp_layout = False
     # tp-kernel mode: the pipeline stored the qkv stack in the head-aligned
     # (L, D, 3, D) layout and set TP_MESH — run the tp=2 shard_map kernel
-    # (ops/pallas/decode_step_tp.py). Beam ancestry and int8 KV keep their
-    # proven single-device paths; under tp they use the XLA fallback.
+    # (ops/pallas/decode_step_tp.py). Beam ancestry composes (r5): the
+    # where-chain selection acts on batch rows only, orthogonal to the
+    # head-sliced Dl axis; gated at B*K <= 12 (the tp kernel streams
+    # 64-slot kv blocks — the proven single-chip anc bound for that block
+    # size). int8 KV keeps its single-device path (the tp kernel is
+    # int8-weight + bf16-cache only); under tp it uses the XLA fallback.
     if tp_layout:
-        ok = (TP_MESH is not None and not beam and not kv_quant
-              and B <= 24 and dims.dim % 1280 == 0)
+        ok = (TP_MESH is not None and not kv_quant
+              and dims.dim % 1280 == 0
+              and (B <= 12 if beam else B <= 24))
         return "tp" if ok else False
     # int8 KV rides the fused kernel too (flat int8 cache + packed scale
     # rows, dequant folded into the in-VMEM score/prob tensors); in beam
@@ -109,7 +114,7 @@ def _decode_step(fused: bool, params: Params, x, dims: GPT2Dims, pos, kv,
 
         interp = os.environ.get("INDEXTTS_FUSED_DECODE", "0") == "interp"
         h, kv = tp_decode_step(TP_MESH, params["gpt"], x, dims, pos, kv,
-                               kv_valid,
+                               kv_valid, anc=anc, group=group,
                                interpret=pltpu.InterpretParams() if interp
                                else False)
         return nn.layer_norm(params["gpt"]["ln_f"], h), kv
@@ -268,14 +273,14 @@ def generate(params: Params, cfg: GPTConfig, dims: GPT2Dims,
 # actually generated, not the worst-case budget
 # ---------------------------------------------------------------------------
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "dims", "max_new_tokens", "span_end", "sampling",
-                     "dtype"))
-def _prefill_and_span(params: Params, cfg: GPTConfig, dims: GPT2Dims,
-                      prefix_embeds, prefix_mask, rng, max_new_tokens: int,
-                      span_end: int, sampling: SamplingConfig, dtype):
-    """Prefill + decode steps [0, span_end) with a cache sized for span_end."""
+def _prefill_state(params: Params, cfg: GPTConfig, dims: GPT2Dims,
+                   prefix_embeds, prefix_mask, rng, max_new_tokens: int,
+                   span_end: int, sampling: SamplingConfig, dtype):
+    """Prefill + sample token 0; returns the canonical decode state tuple
+    (step=1, tokens, counts, kv, kv_valid, finished, lengths, rng) with the
+    cache sized for `span_end` generated tokens. Shared by the plain span
+    decoder below and the speculative one (engine/speculative.py) so both
+    replay the identical sampler stream from the identical prefill."""
     B, P, D = prefix_embeds.shape
     V = cfg.number_mel_codes
     stop = cfg.stop_mel_token
@@ -311,7 +316,20 @@ def _prefill_and_span(params: Params, cfg: GPTConfig, dims: GPT2Dims,
     counts = counts.at[jnp.arange(B), tok0].add(1)
     finished = tok0 == stop
     lengths = jnp.where(finished, 0, max_new_tokens)
-    state = (jnp.int32(1), tokens, counts, kv, kv_valid, finished, lengths, rng)
+    return (jnp.int32(1), tokens, counts, kv, kv_valid, finished, lengths, rng)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "dims", "max_new_tokens", "span_end", "sampling",
+                     "dtype"))
+def _prefill_and_span(params: Params, cfg: GPTConfig, dims: GPT2Dims,
+                      prefix_embeds, prefix_mask, rng, max_new_tokens: int,
+                      span_end: int, sampling: SamplingConfig, dtype):
+    """Prefill + decode steps [0, span_end) with a cache sized for span_end."""
+    P = prefix_embeds.shape[1]
+    state = _prefill_state(params, cfg, dims, prefix_embeds, prefix_mask, rng,
+                           max_new_tokens, span_end, sampling, dtype)
     return _decode_span_body(params, cfg, dims, state, P, 1, span_end,
                              max_new_tokens, sampling, dtype)
 

@@ -26,20 +26,34 @@ This module does that without a draft model:
   takes the normal single-token step — the same fused Pallas kernel /
   XLA step `generate()` uses — so the worst case is the baseline decode
   plus a negligible in-graph lookup.
+- **self-gating** (`generate_spec_adaptive`): speculation only pays when the
+  codes actually repeat, which is a property of the checkpoint + input, not
+  the engine. The adaptive driver decodes a short probe span speculatively,
+  reads the acceptance stats at the span boundary (one host RTT, same sync
+  the adaptive-cache driver already pays), and demotes to the plain fused
+  step for the rest of the segment when chunk verification is not clearing
+  its device-measured cost ratio. Worst case (adversarial random-weight
+  codes: nothing repeats) is the +6% lookup tax on the probe span only —
+  <1% of a full segment — which is what makes this safe to run by DEFAULT.
 
 Token-stream semantics are the SEQUENTIAL sampler's: every committed token
 is sampled from logits conditioned only on committed history, with the same
 rng-split chain, the same HF-ordered warper stack, and the same faithful
-quirks (fake-prefix repetition counts, mel-pos off-by-one). The only
-difference from `generate()` is which PROGRAM computes the logits (chunked
-vs single-step matmuls), i.e. float-reassociation noise —
-`tests/test_speculative.py` pins token equality across oracle, adversarial,
-and lookup drafting.
+quirks (fake-prefix repetition counts, mel-pos off-by-one). Because the rng
+carried out of a chunk is the state after exactly (committed) splits, the
+stream stays aligned with `generate()` across BOTH span boundaries and the
+spec->plain demotion — `tests/test_speculative.py` pins token equality for
+oracle, adversarial, lookup, and gated-demotion paths. The only difference
+from `generate()` is which PROGRAM computes the logits (chunked vs
+single-step matmuls), i.e. float-reassociation noise; bit-exact on the CPU
+f32 lane, see docs/KERNELS.md §1 for the device caveat.
 
 The reference has no analogue of any of this (its HF `generate` is strictly
 one forward per token; reference decode loop
-`indextts/gpt/transformers_generation_utils.py:2988-3065`). Opt-in:
-`INDEXTTS_SPEC_DECODE=<gamma>` in the pipeline (B=1 segments only).
+`indextts/gpt/transformers_generation_utils.py:2988-3065`; HF's
+`_assisted_decoding` exists in the vendored utils but is never wired).
+Default-on in the pipeline for B=1 segments; `INDEXTTS_SPEC_DECODE=0`
+disables, `=<gamma>` overrides gamma.
 """
 
 from __future__ import annotations
@@ -52,10 +66,10 @@ import jax.numpy as jnp
 
 from indextts_tpu.config import GPTConfig
 from indextts_tpu.engine.decode import (SamplingConfig, _cache_len,
-                                        _decode_step, _embed_mel_token,
-                                        _fused_decode_ok, _min_len_mask)
-from indextts_tpu.models.gpt.gpt2 import (GPT2Dims, gpt2_chunk_step,
-                                          gpt2_prefill, init_kv_cache)
+                                        _continue_span, _decode_step,
+                                        _embed_mel_token, _fused_decode_ok,
+                                        _min_len_mask, _prefill_state)
+from indextts_tpu.models.gpt.gpt2 import GPT2Dims, gpt2_chunk_step
 from indextts_tpu.models.gpt.unified_voice import mel_logits_from_hidden
 from indextts_tpu.nn import Params
 from indextts_tpu.ops.sampling import sample_logits
@@ -88,72 +102,31 @@ def _lookup_draft(row: jnp.ndarray, step: jnp.ndarray, gamma: int,
     return draft, have
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "dims", "max_new_tokens", "sampling", "dtype",
-                     "gamma", "ngram", "forced"))
-def generate_spec(params: Params, cfg: GPTConfig, dims: GPT2Dims,
-                  prefix_embeds: jnp.ndarray, prefix_mask: jnp.ndarray,
-                  rng: jax.Array, max_new_tokens: int,
-                  sampling: SamplingConfig = SamplingConfig(),
-                  dtype=jnp.bfloat16, gamma: int = 8, ngram: int = 2,
-                  forced: bool = False,
-                  draft_source: Optional[jnp.ndarray] = None
-                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """`generate()` with speculative chunk-verify; B must be 1.
+def _spec_span_body(params: Params, cfg: GPTConfig, dims: GPT2Dims, state,
+                    P: int, end, max_new_tokens: int,
+                    sampling: SamplingConfig, dtype, gamma: int, ngram: int,
+                    forced: bool, draft_source: jnp.ndarray):
+    """Speculative decode loop over steps [state.step, end).
 
-    forced=True reads drafts from `draft_source` ((max_new_tokens,) int32)
-    instead of prompt lookup — the test/bench hook: oracle drafts (the
-    sequence the sequential sampler emits) exercise full-accept, adversarial
-    drafts exercise full-reject; output must equal `generate()` either way.
-    Returns (codes (1, max_new_tokens), lengths (1,), stats (3,) int32)
-    where stats = [chunk verifies, tokens committed by chunks, single-step
-    fallbacks] — the acceptance observability a deployment needs to decide
-    whether speculation clears break-even (docs/KERNELS.md §1): per-draft
-    acceptance ≈ (stats[1] - stats[0]) / (stats[0] * gamma).
+    `state` is the plain decode state tuple (step, tokens, counts, kv,
+    kv_valid, finished, lengths, rng) + a trailing stats (3,) int32 entry
+    [chunk verifies, tokens committed by chunks, single-step fallbacks].
+    The cache must be sized for `end` generated tokens; chunks only fire
+    when their gamma+1 writes fit inside `end`, so span-bounded runs are
+    token-identical to a single full-range run up to WHICH program computes
+    each logit (same guard the full-range form uses with
+    end == max_new_tokens).
     """
-    B, P, D = prefix_embeds.shape
-    assert B == 1, "speculative decode is a B=1 (single-segment) path"
+    B = state[1].shape[0]
     V = cfg.number_mel_codes
     stop = cfg.stop_mel_token
     fused = _fused_decode_ok(params, dims, B, sampling.kv_quant)
-    S = _cache_len(P, max_new_tokens, fused)
+    # a chunk's gamma+1 writes must FIT the (B, max_new_tokens) token buffer
+    # at trace time, even though the runtime guard already skips chunks that
+    # would cross `end` (short segments: max_mel_tokens=8 with gamma=8)
+    gamma = max(1, min(gamma, max_new_tokens - 1))
     G1 = gamma + 1
-
-    if draft_source is None:
-        draft_source = jnp.zeros((max_new_tokens,), jnp.int32)
-
-    prefix_embeds = prefix_embeds.astype(dtype)
-
-    # --- prefill (identical to generate()) --------------------------------
-    start_tok = jnp.full((B,), cfg.start_mel_token, jnp.int32)
-    start_emb = _embed_mel_token(params, start_tok, 0, dtype)
-    seq = jnp.concatenate([prefix_embeds, start_emb[:, None, :]], axis=1)
-    seq_mask = jnp.concatenate([prefix_mask, jnp.ones((B, 1), bool)], axis=1)
-    kv = init_kv_cache(dims, B, S, dtype=dtype, quantized=sampling.kv_quant,
-                       flat=bool(fused))
-    hidden, kv = gpt2_prefill(params["gpt"], seq, dims, seq_mask, kv)
-    logits0 = mel_logits_from_hidden(params, hidden[:, -1, :])
-    kv_valid = jnp.zeros((B, S), bool)
-    kv_valid = jax.lax.dynamic_update_slice(kv_valid, seq_mask, (0, 0))
-
-    counts = jnp.zeros((B, V), jnp.int32)
-    counts = counts.at[:, 1].add(P)
-    counts = counts.at[:, cfg.start_mel_token].add(1)
-
-    rng, r0 = jax.random.split(rng)
-    logits0 = _min_len_mask(logits0, stop, 0, sampling.min_new_tokens)
-    tok0 = sample_logits(
-        r0, logits0, counts,
-        temperature=sampling.temperature, top_k=sampling.top_k,
-        top_p=sampling.top_p, repetition_penalty=sampling.repetition_penalty,
-        do_sample=sampling.do_sample,
-        typical_mass=sampling.typical_mass if sampling.typical_sampling else None)
-    tokens = jnp.full((B, max_new_tokens), stop, jnp.int32)
-    tokens = tokens.at[:, 0].set(tok0)
-    counts = counts.at[jnp.arange(B), tok0].add(1)
-    finished0 = tok0 == stop
-    lengths0 = jnp.where(finished0, 0, max_new_tokens)
+    S = state[3]["k"].shape[2]
 
     def _sample(r, logits, cts, step):
         logits = _min_len_mask(logits, stop, step, sampling.min_new_tokens)
@@ -166,10 +139,10 @@ def generate_spec(params: Params, cfg: GPTConfig, dims: GPT2Dims,
             typical_mass=sampling.typical_mass if sampling.typical_sampling
             else None)
 
-    def single_branch(state):
+    def single_branch(st):
         """One token — exactly generate()'s loop body."""
         (step, tokens, counts, kv, kv_valid, finished, lengths, rng, _,
-         stats) = state
+         stats) = st
         prev_tok = tokens[:, step - 1]
         x = _embed_mel_token(params, prev_tok, step + 1, dtype)
         pos = P + 1 + step
@@ -188,11 +161,11 @@ def generate_spec(params: Params, cfg: GPTConfig, dims: GPT2Dims,
                 rng, jnp.zeros((gamma,), jnp.int32),
                 stats + jnp.asarray([0, 0, 1], jnp.int32))
 
-    def chunk_branch(state):
+    def chunk_branch(st):
         """Verify gamma drafted tokens with one chunk forward; commit the
         matching prefix plus the first correction token."""
         (step, tokens, counts, kv, kv_valid, finished, lengths, rng, draft,
-         stats) = state
+         stats) = st
         prev_tok = tokens[:, step - 1]                       # (1,)
         ids = jnp.concatenate([prev_tok, draft])             # (G1,)
         emb = params["mel_embedding"]["weight"].astype(dtype)[ids]
@@ -245,26 +218,178 @@ def generate_spec(params: Params, cfg: GPTConfig, dims: GPT2Dims,
                 rng, jnp.zeros((gamma,), jnp.int32),
                 stats + jnp.stack([jnp.int32(1), m, jnp.int32(0)]))
 
-    def cond(state):
-        step, _, _, _, _, finished, _, _, _, _ = state
-        return jnp.logical_and(step < max_new_tokens, ~jnp.all(finished))
+    def cond(st):
+        step = st[0]
+        finished = st[5]
+        return jnp.logical_and(step < end, ~jnp.all(finished))
 
-    def body(state):
+    def body(st):
         (step, tokens, counts, kv, kv_valid, finished, lengths, rng, _,
-         stats) = state
+         stats) = st
         if forced:
             start = jnp.clip(step, 0, max_new_tokens - gamma)
             draft = jax.lax.dynamic_slice(draft_source, (start,), (gamma,))
             have = jnp.bool_(True)
         else:
             draft, have = _lookup_draft(tokens[0], step, gamma, ngram)
-        have = jnp.logical_and(have, step + gamma + 1 <= max_new_tokens)
-        state = (step, tokens, counts, kv, kv_valid, finished, lengths, rng,
-                 draft, stats)
-        return jax.lax.cond(have, chunk_branch, single_branch, state)
+        have = jnp.logical_and(have, step + gamma + 1 <= end)
+        st = (step, tokens, counts, kv, kv_valid, finished, lengths, rng,
+              draft, stats)
+        return jax.lax.cond(have, chunk_branch, single_branch, st)
 
-    state = (jnp.int32(1), tokens, counts, kv, kv_valid, finished0, lengths0,
-             rng, jnp.zeros((gamma,), jnp.int32), jnp.zeros((3,), jnp.int32))
-    _, tokens, _, _, _, _, lengths, _, _, stats = jax.lax.while_loop(
-        cond, body, state)
+    st10 = state[:8] + (jnp.zeros((gamma,), jnp.int32), state[8])
+    out = jax.lax.while_loop(cond, body, st10)
+    return out[:8] + (out[9],)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "dims", "max_new_tokens", "span_end", "sampling",
+                     "dtype", "gamma", "ngram", "forced"))
+def _spec_prefill_and_span(params: Params, cfg: GPTConfig, dims: GPT2Dims,
+                           prefix_embeds, prefix_mask, rng,
+                           max_new_tokens: int, span_end: int,
+                           sampling: SamplingConfig, dtype, gamma: int,
+                           ngram: int, forced: bool,
+                           draft_source: jnp.ndarray):
+    P = prefix_embeds.shape[1]
+    state = _prefill_state(params, cfg, dims, prefix_embeds, prefix_mask, rng,
+                           max_new_tokens, span_end, sampling, dtype)
+    state = state + (jnp.zeros((3,), jnp.int32),)
+    return _spec_span_body(params, cfg, dims, state, P, span_end,
+                           max_new_tokens, sampling, dtype, gamma, ngram,
+                           forced, draft_source)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "dims", "max_new_tokens", "span_end", "sampling",
+                     "dtype", "gamma", "ngram", "forced"),
+    donate_argnames=("state",))
+def _spec_continue_span(params: Params, cfg: GPTConfig, dims: GPT2Dims,
+                        state, P: int, max_new_tokens: int, span_end: int,
+                        sampling: SamplingConfig, dtype, gamma: int,
+                        ngram: int, forced: bool, draft_source: jnp.ndarray):
+    return _spec_span_body(params, cfg, dims, state, P, span_end,
+                           max_new_tokens, sampling, dtype, gamma, ngram,
+                           forced, draft_source)
+
+
+def generate_spec(params: Params, cfg: GPTConfig, dims: GPT2Dims,
+                  prefix_embeds: jnp.ndarray, prefix_mask: jnp.ndarray,
+                  rng: jax.Array, max_new_tokens: int,
+                  sampling: SamplingConfig = SamplingConfig(),
+                  dtype=jnp.bfloat16, gamma: int = 8, ngram: int = 2,
+                  forced: bool = False,
+                  draft_source: Optional[jnp.ndarray] = None
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """`generate()` with speculative chunk-verify; B must be 1.
+
+    forced=True reads drafts from `draft_source` ((max_new_tokens,) int32)
+    instead of prompt lookup — the test/bench hook: oracle drafts (the
+    sequence the sequential sampler emits) exercise full-accept, adversarial
+    drafts exercise full-reject; output must equal `generate()` either way.
+    Returns (codes (1, max_new_tokens), lengths (1,), stats (3,) int32)
+    where stats = [chunk verifies, tokens committed by chunks, single-step
+    fallbacks] — the acceptance observability a deployment needs to decide
+    whether speculation clears break-even (docs/KERNELS.md §1): commits per
+    chunk ≈ stats[1] / stats[0].
+    """
+    assert prefix_embeds.shape[0] == 1, \
+        "speculative decode is a B=1 (single-segment) path"
+    if draft_source is None:
+        draft_source = jnp.zeros((max_new_tokens,), jnp.int32)
+    state = _spec_prefill_and_span(
+        params, cfg, dims, prefix_embeds, prefix_mask, rng, max_new_tokens,
+        max_new_tokens, sampling, dtype, gamma, ngram, forced, draft_source)
+    _, tokens, _, _, _, _, lengths, _, stats = state
     return tokens, jnp.minimum(lengths, max_new_tokens), stats
+
+
+def spec_commit_ratio(gamma: int) -> float:
+    """Device-measured break-even: a chunk verify of gamma drafts costs
+    c(gamma) ≈ base * (1.62 + 0.045*gamma) per commit (fit of the round-4
+    A/B: c(4)/base = 1.80, c(8)/base = 1.98; the step is ~0.8 ms weight DMA
+    + ~0.1 ms per extra position, docs/KERNELS.md §1). Speculation wins
+    while the observed commits-per-chunk exceeds this ratio."""
+    return 1.62 + 0.045 * gamma
+
+
+def generate_spec_adaptive(params: Params, cfg: GPTConfig, dims: GPT2Dims,
+                           prefix_embeds, prefix_mask, rng,
+                           max_new_tokens: int,
+                           sampling: SamplingConfig = SamplingConfig(),
+                           dtype=jnp.bfloat16, gamma: int = 8,
+                           ngram: int = 2,
+                           spans=(256, 512, 1024, 1536),
+                           commit_ratio: Optional[float] = None,
+                           forced: bool = False,
+                           draft_source: Optional[jnp.ndarray] = None
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Self-gating speculative decode with a growing KV cache (B=1).
+
+    `generate_adaptive()`'s span driver with speculation layered on top:
+    the first span (256 tokens — the SAME ladder as the plain driver, so
+    the span structure, program count, and host-RTT count match the
+    non-speculative path exactly) is the online acceptance PROBE. At every
+    span boundary the host reads (finished, step, stats) — the same single
+    RTT the plain adaptive driver pays — and, while speculating, demotes to
+    the plain fused step for the remaining spans when the cumulative
+    commits-per-chunk falls below the device cost ratio
+    `spec_commit_ratio(gamma)` (or no chunk ever fired). Because the rng
+    carried out of a chunk equals the sequential stream state, the demotion
+    is seamless: the whole run stays token-identical to `generate()` for a
+    given rng regardless of WHERE the gate trips.
+
+    Worst case (adversarial codes, nothing repeats): the ~6% no-match
+    lookup tax applies to the probe span only — ~13 ms of a 500-token
+    segment (~1.4%); segments that finish inside the probe pay up to 6% of
+    their decode, bounded by design (a 64-token probe was tried first and
+    its EXTRA span boundary cost more than the tax it saved: +3.5%
+    end-to-end on device). Best case (repetitive codes):
+    c(gamma)/(gamma+1) = 0.19 ms/token at gamma=8 vs the 0.87 baseline.
+    Returns (codes, lengths, stats) like `generate_spec`.
+    """
+    import numpy as np
+
+    assert prefix_embeds.shape[0] == 1, \
+        "speculative decode is a B=1 (single-segment) path"
+    if draft_source is None:
+        draft_source = jnp.zeros((max_new_tokens,), jnp.int32)
+    ratio = commit_ratio if commit_ratio is not None else spec_commit_ratio(gamma)
+    spans = tuple(s for s in spans if s < max_new_tokens) + (max_new_tokens,)
+    P = prefix_embeds.shape[1]
+    fused = _fused_decode_ok(params, dims, 1, sampling.kv_quant)
+
+    state = _spec_prefill_and_span(
+        params, cfg, dims, prefix_embeds, prefix_mask, rng, max_new_tokens,
+        spans[0], sampling, dtype, gamma, ngram, forced, draft_source)
+    use_spec = True
+    stats = state[8]
+    for nxt in spans[1:]:
+        step, tokens, counts, kv, kv_valid, finished, lengths, rng_s = state[:8]
+        stats = state[8]
+        # ONE batched host readback per span boundary (full RTT on relay)
+        fin, st, ch, com = jax.device_get(
+            (jnp.all(finished), step, stats[0], stats[1]))
+        if bool(fin) or int(st) >= max_new_tokens:
+            break
+        if use_spec:
+            ch, com = int(ch), int(com)
+            if ch == 0 or com < ratio * ch:
+                use_spec = False  # speculation is not paying — demote
+        grow = _cache_len(P, nxt, fused) - kv["k"].shape[2]
+        kv = {name: jnp.pad(buf, [(0, 0), (0, 0), (0, grow)]
+                            + [(0, 0)] * (buf.ndim - 3))
+              for name, buf in kv.items()}
+        kv_valid = jnp.pad(kv_valid, ((0, 0), (0, grow)))
+        st8 = (step, tokens, counts, kv, kv_valid, finished, lengths, rng_s)
+        if use_spec:
+            state = _spec_continue_span(
+                params, cfg, dims, st8 + (stats,), P, max_new_tokens, nxt,
+                sampling, dtype, gamma, ngram, forced, draft_source)
+        else:
+            state = _continue_span(params, cfg, dims, st8, P, max_new_tokens,
+                                   nxt, sampling, dtype) + (stats,)
+    _, tokens, _, _, _, _, lengths, _ = state[:8]
+    return tokens, jnp.minimum(lengths, max_new_tokens), state[8]

@@ -64,6 +64,22 @@ from indextts_tpu.utils.resample import resample_audio
 from indextts_tpu.utils.wav_io import read_wav_mono, write_wav
 
 
+def _spec_decode_gamma() -> int:
+    """gamma for the B=1 self-gating speculative decoder. Default ON at
+    gamma=8 (the online acceptance gate bounds the adversarial worst case
+    under 1%, engine/speculative.py). INDEXTTS_SPEC_DECODE=0/off disables;
+    any other integer overrides gamma."""
+    raw = os.environ.get("INDEXTTS_SPEC_DECODE", "").strip().lower()
+    if raw in ("", "on", "true", "default"):
+        return 8
+    if raw in ("0", "off", "false", "no"):
+        return 0
+    try:
+        return max(0, int(raw))
+    except ValueError:
+        return 8
+
+
 def find_most_similar_cosine(query: jnp.ndarray, matrix: jnp.ndarray) -> int:
     """argmax cosine similarity (reference `infer_v2.py:719-725`)."""
     q = query.astype(jnp.float32)
@@ -281,7 +297,9 @@ class IndexTTS2:
 
             _dec.TP_MESH = self.mesh
             print(">> tp=2 mesh: fused decode kernel via shard_map "
-                  "(INDEXTTS_TP_DECODE=kernel)")
+                  "(INDEXTTS_TP_DECODE=kernel; int8 weights, bf16 cache; "
+                  "sampling B<=24, beam ancestry B*beams<=12 — other "
+                  "configs fall back to GSPMD)")
         elif tp > 1 and os.environ.get("INDEXTTS_FUSED_DECODE", "1") == "1":
             # the single-device fused kernel cannot take a tp-sharded
             # cache/params; without the tp kernel opt-in, use the GSPMD path
@@ -877,31 +895,7 @@ class IndexTTS2:
                 B_rows = pe.shape[0]
                 chunk = (int(os.environ.get("INDEXTTS_DECODE_CHUNK", "0"))
                          or 24)
-                spec_gamma = int(os.environ.get("INDEXTTS_SPEC_DECODE", "0"))
-                if B_rows == 1 and spec_gamma > 0 and self.mesh is None:
-                    # opt-in speculative (prompt-lookup) decode: B=1 is
-                    # weight-DMA bound (483 MB/token int8), so verifying
-                    # gamma drafted codes with ONE chunk forward streams the
-                    # weights once per accepted run instead of per token.
-                    # Token semantics match generate() (same sampler chain;
-                    # tests/test_speculative.py); win scales with the mel
-                    # codes' local repetitiveness (docs/KERNELS.md §1).
-                    from indextts_tpu.engine.speculative import generate_spec
-
-                    batch_codes, batch_code_lens, spec_stats = generate_spec(
-                        self.gpt_params, self.cfg.gpt, self.gpt_dims, pe, pm,
-                        self._next_rng(), max_new_tokens=max_mel_tokens,
-                        sampling=sampling, dtype=self.dtype,
-                        gamma=spec_gamma,
-                        ngram=int(os.environ.get("INDEXTTS_SPEC_NGRAM", "2")))
-                    if verbose:
-                        ch, com, sg = (int(v) for v in np.asarray(spec_stats))
-                        acc = ((com - ch) / (ch * spec_gamma)) if ch else 0.0
-                        print(f">> spec decode: {ch} chunk verifies "
-                              f"committed {com} tokens, {sg} single steps "
-                              f"(per-draft acceptance {acc:.2f}; break-even "
-                              f"~0.5, docs/KERNELS.md §1)")
-                elif B_rows > chunk and self.mesh is None:
+                if B_rows > chunk and self.mesh is None:
                     # ONE _next_rng() split across chunks: the host rng
                     # stream advances exactly as in the unchunked call, so
                     # the downstream CFM noise (and greedy audio) match
@@ -1044,13 +1038,46 @@ class IndexTTS2:
                     jnp.asarray([tlen]), prefix_len, dtype=self.dtype)
 
             # [G] decode (beam search when num_beams > 1, the reference
-            # default; adaptive-cache sampling otherwise)
-            decode_fn = (generate_beam if sampling.num_beams > 1
-                         else generate_adaptive)
-            codes, code_lens = decode_fn(
-                self.gpt_params, self.cfg.gpt, self.gpt_dims, prefix_embeds,
-                prefix_mask, self._next_rng(), max_new_tokens=max_mel_tokens,
-                sampling=sampling, dtype=self.dtype)
+            # default; otherwise the self-gating speculative B=1 decoder —
+            # DEFAULT ON: a short probe span measures draft acceptance
+            # online and demotes to the plain fused step when speculation
+            # is not clearing its device cost ratio, so the adversarial
+            # worst case is <1% (engine/speculative.py). Token-identical to
+            # generate() on the CPU lane; INDEXTTS_SPEC_DECODE=0 reverts.
+            spec_gamma = (0 if (sampling.num_beams > 1
+                                or self.mesh is not None)
+                          else _spec_decode_gamma())
+            if spec_gamma > 0:
+                from indextts_tpu.engine.speculative import (
+                    generate_spec_adaptive, spec_commit_ratio)
+
+                codes, code_lens, spec_stats = generate_spec_adaptive(
+                    self.gpt_params, self.cfg.gpt, self.gpt_dims,
+                    prefix_embeds, prefix_mask, self._next_rng(),
+                    max_new_tokens=max_mel_tokens, sampling=sampling,
+                    dtype=self.dtype, gamma=spec_gamma,
+                    ngram=int(os.environ.get("INDEXTTS_SPEC_NGRAM", "2")))
+                # acceptance observability for deployments (tools/day_one.py
+                # sweeps gamma on real checkpoints through this)
+                self.last_spec_stats = (spec_gamma,
+                                        *(int(v) for v in
+                                          np.asarray(spec_stats)))
+                if verbose:
+                    ch, com, sg = (int(v) for v in np.asarray(spec_stats))
+                    acc = ((com - ch) / (ch * spec_gamma)) if ch else 0.0
+                    print(f">> spec decode: {ch} chunk verifies committed "
+                          f"{com} tokens, {sg} single steps (per-draft "
+                          f"acceptance {acc:.2f}; gate "
+                          f"{spec_commit_ratio(spec_gamma):.2f} "
+                          f"commits/chunk, docs/KERNELS.md §1)")
+            else:
+                decode_fn = (generate_beam if sampling.num_beams > 1
+                             else generate_adaptive)
+                codes, code_lens = decode_fn(
+                    self.gpt_params, self.cfg.gpt, self.gpt_dims,
+                    prefix_embeds, prefix_mask, self._next_rng(),
+                    max_new_tokens=max_mel_tokens, sampling=sampling,
+                    dtype=self.dtype)
             code_lens_np = np.asarray(code_lens)
             gpt_gen_time += time.perf_counter() - m_start
 

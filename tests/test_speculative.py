@@ -231,4 +231,125 @@ def test_spec_interp_fused_composition(monkeypatch):
             assert l1[0] == stops[0]
             assert (c1[0, stops[0]:] == cfg.stop_mel_token).all()
         assert l1[0] >= 10 or l1[0] == 16  # min_new_tokens honored
-    generate_spec.clear_cache()
+    from indextts_tpu.engine.speculative import _spec_prefill_and_span
+
+    _spec_prefill_and_span.clear_cache()
+
+
+# ---------------------------------------------------------------------------
+# self-gating adaptive driver (generate_spec_adaptive)
+# ---------------------------------------------------------------------------
+
+def _run_adaptive(uv_params, dims, prefix, seed, max_new=24, gamma=4,
+                  **spec_kw):
+    from indextts_tpu.engine.speculative import generate_spec_adaptive
+
+    emb, mask = prefix
+    ref_c, ref_l = generate(uv_params, TINY, dims, emb, mask,
+                            jax.random.PRNGKey(seed), max_new_tokens=max_new,
+                            sampling=SAMPLING, dtype=jnp.float32)
+    a_c, a_l, stats = generate_spec_adaptive(
+        uv_params, TINY, dims, emb, mask, jax.random.PRNGKey(seed),
+        max_new_tokens=max_new, sampling=SAMPLING, dtype=jnp.float32,
+        gamma=gamma, spans=(8, 16), **spec_kw)
+    return (np.asarray(ref_c), np.asarray(ref_l), np.asarray(a_c),
+            np.asarray(a_l), np.asarray(stats))
+
+
+@pytest.mark.parametrize("seed", [0, 3, 11])
+def test_adaptive_lookup_matches(uv_params, dims, prefix, seed):
+    """Span-bounded, self-gating lookup decode == generate(), token for
+    token, wherever the gate happens to trip (rng stream stays aligned
+    across span boundaries AND the spec->plain demotion)."""
+    ref_c, ref_l, a_c, a_l, _ = _run_adaptive(uv_params, dims, prefix, seed)
+    np.testing.assert_array_equal(a_c, ref_c)
+    np.testing.assert_array_equal(a_l, ref_l)
+
+
+@pytest.mark.parametrize("seed", [0, 5])
+def test_adaptive_oracle_stays_speculative(uv_params, dims, prefix, seed):
+    """Oracle drafts fully accept, so the gate must KEEP speculating past
+    the probe span: chunk verifies keep accumulating in later spans."""
+    emb, mask = prefix
+    ref_c, ref_l = generate(uv_params, TINY, dims, emb, mask,
+                            jax.random.PRNGKey(seed), max_new_tokens=24,
+                            sampling=SAMPLING, dtype=jnp.float32)
+    ref_c, ref_l, a_c, a_l, stats = _run_adaptive(
+        uv_params, dims, prefix, seed, forced=True,
+        draft_source=jnp.asarray(np.asarray(ref_c)[0]))
+    np.testing.assert_array_equal(a_c, ref_c)
+    np.testing.assert_array_equal(a_l, ref_l)
+    if int(ref_l[0]) == 24:
+        # probe span (8): chunks at steps 1..; full accepts clear the
+        # commit-ratio gate (5 commits/chunk vs 1.8), so spans 2 and 3
+        # must also verify chunks — more than the probe alone could hold
+        assert int(stats[0]) >= 3 and int(stats[1]) > 8
+
+
+@pytest.mark.parametrize("seed", [0, 5])
+def test_adaptive_adversarial_demotes(uv_params, dims, prefix, seed):
+    """Never-matching drafts: every chunk commits exactly 1 token, the gate
+    reads 1 < commit_ratio at the first span boundary and demotes — stats
+    freeze at the probe span's counts, and the output still equals
+    generate() exactly."""
+    bad = jnp.full((24,), 47, jnp.int32)  # a code generate() never emits
+    ref_c, ref_l, a_c, a_l, stats = _run_adaptive(
+        uv_params, dims, prefix, seed, forced=True, draft_source=bad)
+    assert not np.any(ref_c == 47)
+    np.testing.assert_array_equal(a_c, ref_c)
+    np.testing.assert_array_equal(a_l, ref_l)
+    if int(ref_l[0]) == 24:
+        # probe span (8 tokens, gamma=4): forced chunks fire while
+        # step+5 <= 8 (steps 1,2,3 — each commits 1), then singles to step
+        # 8. Demotion freezes stats there: no chunk past the probe span.
+        chunks, committed, singles = (int(v) for v in stats)
+        assert (chunks, committed, singles) == (3, 3, 4)
+
+
+def test_adaptive_matches_full_range_spec(uv_params, dims, prefix):
+    """With the gate forced open (commit_ratio=0), the span-bounded driver
+    equals the single full-range spec program: the chunk guard composes
+    with span ends without changing committed tokens."""
+    from indextts_tpu.engine.speculative import generate_spec_adaptive
+
+    emb, mask = prefix
+    key = jax.random.PRNGKey(2)
+    c1, l1, _ = generate_spec(uv_params, TINY, dims, emb, mask, key,
+                              max_new_tokens=24, sampling=SAMPLING,
+                              dtype=jnp.float32, gamma=4)
+    c2, l2, _ = generate_spec_adaptive(uv_params, TINY, dims, emb, mask, key,
+                                       max_new_tokens=24, sampling=SAMPLING,
+                                       dtype=jnp.float32, gamma=4,
+                                       spans=(8, 16), commit_ratio=0.0)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_spec_int8kv_matches(uv_params, dims, prefix):
+    """Spec decode with the quantized KV cache (pipeline quantization=
+    'int8kv' sets sampling.kv_quant) must equal generate() on the same
+    config — the chunk step consumes the same cache variants as the
+    single-token step. Now load-bearing: spec is default-on (r5)."""
+    s = SamplingConfig(temperature=1.0, top_k=0, top_p=1.0,
+                       repetition_penalty=1.3, kv_quant=True)
+    ref_c, ref_l, spec_c, spec_l = _run_both(uv_params, dims, prefix, s, 2)
+    np.testing.assert_array_equal(spec_c, ref_c)
+    np.testing.assert_array_equal(spec_l, ref_l)
+
+
+def test_spec_adaptive_int8kv_matches(uv_params, dims, prefix):
+    """Same for the span-bounded self-gating driver (the shipping path)."""
+    from indextts_tpu.engine.speculative import generate_spec_adaptive
+
+    s = SamplingConfig(temperature=1.0, top_k=0, top_p=1.0,
+                       repetition_penalty=1.3, kv_quant=True)
+    emb, mask = prefix
+    key = jax.random.PRNGKey(2)
+    ref_c, ref_l = generate(uv_params, TINY, dims, emb, mask, key,
+                            max_new_tokens=24, sampling=s, dtype=jnp.float32)
+    a_c, a_l, _ = generate_spec_adaptive(uv_params, TINY, dims, emb, mask,
+                                         key, max_new_tokens=24, sampling=s,
+                                         dtype=jnp.float32, gamma=4,
+                                         spans=(8, 16))
+    np.testing.assert_array_equal(np.asarray(a_c), np.asarray(ref_c))
+    np.testing.assert_array_equal(np.asarray(a_l), np.asarray(ref_l))

@@ -132,9 +132,9 @@ def main():
               f"{t_orc / N_TOK * 1e3:.2f} ms/token, token agreement vs base "
               f"{agree:.3f}, break-even acceptance ~{a:.2f}", flush=True)
 
-    def spec_stats(label, out):
+    def spec_stats(label, out, gamma):
         chunks, committed, singles = (int(v) for v in np.asarray(out[2]))
-        acc = ((committed - chunks) / (chunks * 8)) if chunks else 0.0
+        acc = ((committed - chunks) / (chunks * gamma)) if chunks else 0.0
         print(f"  {label}: {chunks} chunks committed {committed}, "
               f"{singles} singles -> per-draft acceptance {acc:.3f}",
               flush=True)
@@ -144,7 +144,7 @@ def main():
         lambda: generate_spec(params, cfg, dims, emb, mask, key,
                               max_new_tokens=N_TOK, sampling=sampling,
                               gamma=8, ngram=2))
-    spec_stats("lookup g=8", out_lk)
+    spec_stats("lookup g=8", out_lk, 8)
 
     # GREEDY oracle rows: kept to DOCUMENT that greedy argmax does not fix
     # the random-weight tie problem (measured agreement 0.052 — still
