@@ -66,14 +66,21 @@ def _kernel_tp(pos_ref, tpi_ref, x_ref, ln1w_ref, ln1b_ref, ln2w_ref,
                ln2b_ref, sqkv_ref, bqkv_ref, sproj_ref, bproj_ref, sfc_ref,
                bfc_ref, sp2_ref, bp2_ref, starts_ref, e1_ref, e1t_ref,
                wqkv_ref, wproj_ref, wfc_ref, wp2_ref, ck_ref, cv_ref,
-               xo_ref, kn_ref, vn_ref,
-               xc_ref, qkv_ref, wbuf, pbuf, kbuf, vbuf, asnd, arcv,
-               wsem, psem, ksem, vsem, rsnd, rrcv,
-               *, L: int, B: int, D: int, Dl: int, Fl: int, Hl: int,
-               S: int):
+               *rest,
+               L: int, B: int, D: int, Dl: int, Fl: int, Hl: int,
+               S: int, K: int = 1):
     """One tp shard of the fused decode step. D = full model dim; Dl = D/TP
     attention slice; Fl = MLP hidden / TP; Hl = heads / TP. tpi_ref holds
-    [my tp index, my linear mesh index, peer linear mesh index]."""
+    [my tp index, my linear mesh index, peer linear mesh index]. K > 1 adds
+    an `anc_ref` input ((S//_BS, B*_BS, 1) bf16 in-group beam-ancestry map,
+    `engine/beam.py::_anc_flat` layout): cache K/V rows are selected by
+    ancestry exactly as in the single-chip kernel — the selection acts on
+    batch rows only, so it composes with the head-sliced Dl axis unchanged."""
+    if K > 1:
+        anc_ref, rest = rest[0], rest[1:]
+    (xo_ref, kn_ref, vn_ref,
+     xc_ref, qkv_ref, wbuf, pbuf, kbuf, vbuf, asnd, arcv,
+     wsem, psem, ksem, vsem, rsnd, rrcv) = rest
     l = pl.program_id(0)
     Dh = Dl // Hl
     nq = 3                   # qkv blocks: one (D, 640) tile per component
@@ -253,8 +260,29 @@ def _kernel_tp(pos_ref, tpi_ref, x_ref, ln1w_ref, ln1b_ref, ln2w_ref,
             kc.wait()
             vc.wait()
 
-        kb2 = kbuf[slot].reshape(B * _BS, Dl)
-        vb2 = vbuf[slot].reshape(B * _BS, Dl)
+        if K == 1:
+            kb2 = kbuf[slot].reshape(B * _BS, Dl)
+            vb2 = vbuf[slot].reshape(B * _BS, Dl)
+        else:
+            # beam-ancestry K/V selection (single-chip kernel mechanism,
+            # ops/pallas/decode_step.py): the cache is UNORDERED; anc[r, g]
+            # names the in-group physical row whose entry at position g
+            # belongs to slot r's hypothesis. where-chain over K statically
+            # row-permuted views; bf16 compare is rejected by Mosaic, so
+            # the map is read back in f32.
+            kb3, vb3 = kbuf[slot], vbuf[slot]             # (B, _BS, Dl)
+
+            def perm(buf, j):
+                return jnp.concatenate(
+                    [buf[(r // K) * K + j] for r in range(B)], 0)
+
+            av = anc_ref[i].astype(jnp.float32)           # (B*_BS, 1)
+            kb2 = perm(kb3, K - 1)
+            vb2 = perm(vb3, K - 1)
+            for j in range(K - 2, -1, -1):
+                mj = av == jnp.float32(j)
+                kb2 = jnp.where(mj, perm(kb3, j), kb2)
+                vb2 = jnp.where(mj, perm(vb3, j), vb2)
         g = i * _BS + jrow
         valid = jnp.logical_and(g >= sexp, g < pos)
         valid = jnp.logical_and(valid, kv_used(i))
@@ -339,7 +367,8 @@ def _kernel_tp(pos_ref, tpi_ref, x_ref, ln1w_ref, ln1b_ref, ln2w_ref,
 def fused_decode_step_tp_shard(h: Dict, x: jnp.ndarray, dims: GPT2Dims,
                                pos: jnp.ndarray, kv_cache: Dict,
                                kv_valid: jnp.ndarray, tp_info: jnp.ndarray,
-                               tp: int = 2,
+                               tp: int = 2, anc: jnp.ndarray = None,
+                               group: int = 1,
                                interpret=False) -> Tuple[jnp.ndarray, Dict]:
     """Per-shard body (call INSIDE shard_map). `h` is the LOCAL shard of the
     gpt "h" stack in tp layout: c_attn q (L, D, 3, D/tp) / scale+bias
@@ -347,6 +376,10 @@ def fused_decode_step_tp_shard(h: Dict, x: jnp.ndarray, dims: GPT2Dims,
     (L, D, 4D/tp) with local scale/bias; mlp c_proj q (L, 4D/tp, D) with
     full scale/bias. kv_cache k/v are (L, B, S, D/tp). tp_info is
     [my_tp_index, my_linear_device_id, peer_linear_device_id] int32.
+    group > 1 enables beam-ancestry K/V selection: `anc` is the
+    (S//64, B*64, 1) flat in-group ancestry map (`engine/beam.py::
+    _anc_flat` with bs=64; B is the beam-flattened batch) — replicated
+    across tp since it indexes batch rows, which both shards share.
     Returns (pre-ln_f hidden (B, D) — identical on both shards — and the
     updated local cache)."""
     L, D, H = dims.layers, dims.dim, dims.heads
@@ -391,11 +424,17 @@ def fused_decode_step_tp_shard(h: Dict, x: jnp.ndarray, dims: GPT2Dims,
     e1b = e1.astype(jnp.bfloat16)
     e1t = e1.T.astype(jnp.float32)
 
+    if group > 1:
+        assert anc is not None and anc.shape == (S // _BS, B * _BS, 1), (
+            anc if anc is None else anc.shape, (S // _BS, B * _BS, 1))
+        assert B % group == 0, (B, group)
     kernel = functools.partial(_kernel_tp, L=L, B=B, D=D, Dl=Dl, Fl=Fl,
-                               Hl=Hl, S=S)
+                               Hl=Hl, S=S, K=group)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     full = lambda shape: pl.BlockSpec(shape, lambda l, *_: (0,) * len(shape),
                                       memory_space=pltpu.VMEM)
+    anc_specs = [full((S // _BS, B * _BS, 1))] if group > 1 else []
+    anc_args = [anc.astype(jnp.bfloat16)] if group > 1 else []
     x_out, k_new, v_new = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -411,7 +450,7 @@ def fused_decode_step_tp_shard(h: Dict, x: jnp.ndarray, dims: GPT2Dims,
                 full((128, Dl)),
                 any_spec, any_spec, any_spec, any_spec,
                 any_spec, any_spec,
-            ],
+            ] + anc_specs,
             out_specs=[
                 full((B, D)),
                 pl.BlockSpec((1, B, Dl), lambda l, *_: (l, 0, 0),
@@ -448,7 +487,7 @@ def fused_decode_step_tp_shard(h: Dict, x: jnp.ndarray, dims: GPT2Dims,
       ln1w, ln1b, ln2w, ln2b, sqkv, bqkv, sproj, bproj, sfc, bfc, sp2, bp2,
       starts, e1b, e1t,
       h["attn"]["c_attn"]["q"], h["attn"]["c_proj"]["q"],
-      h["mlp"]["c_fc"]["q"], h["mlp"]["c_proj"]["q"], ck, cv)
+      h["mlp"]["c_fc"]["q"], h["mlp"]["c_proj"]["q"], ck, cv, *anc_args)
 
     new_cache = dict(kv_cache)
     new_cache["k"] = jax.lax.dynamic_update_slice(
@@ -508,10 +547,13 @@ def h_partition_specs(h: Dict):
 
 def tp_decode_step(mesh, gpt: Dict, x: jnp.ndarray, dims: GPT2Dims,
                    pos: jnp.ndarray, kv_cache: Dict, kv_valid: jnp.ndarray,
+                   anc: jnp.ndarray = None, group: int = 1,
                    interpret=False) -> Tuple[jnp.ndarray, Dict]:
     """shard_map entry: full (replicated-batch-view) args in, tp=2 fused
     kernel per shard, replicated hidden out. The decode batch shards over
-    the mesh's dp axis; the cache and all Megatron weight shards over tp."""
+    the mesh's dp axis; the cache and all Megatron weight shards over tp.
+    group > 1 / anc: beam-ancestry selection (engine/beam.py) — the flat
+    anc map shards over dp with the batch rows and replicates over tp."""
     from jax.sharding import PartitionSpec as P
 
     axes = mesh.axis_names
@@ -521,7 +563,7 @@ def tp_decode_step(mesh, gpt: Dict, x: jnp.ndarray, dims: GPT2Dims,
     h = gpt["h"]
     sizes = [mesh.shape[a] for a in axes]
 
-    def body(h_loc, x_loc, pos_v, kvv_loc, k_loc, v_loc):
+    def body(h_loc, x_loc, pos_v, kvv_loc, k_loc, v_loc, *anc_loc):
         my = jax.lax.axis_index("tp")
         lin = jnp.int32(0)
         for a, n in zip(axes, sizes):
@@ -530,19 +572,26 @@ def tp_decode_step(mesh, gpt: Dict, x: jnp.ndarray, dims: GPT2Dims,
         tp_info = jnp.stack([my, lin, peer_lin]).astype(jnp.int32)
         hid, ncache = fused_decode_step_tp_shard(
             h_loc, x_loc, dims, pos_v, {"k": k_loc, "v": v_loc}, kvv_loc,
-            tp_info, tp=tp, interpret=interpret)
+            tp_info, tp=tp, anc=anc_loc[0] if anc_loc else None,
+            group=group, interpret=interpret)
         return hid, ncache["k"], ncache["v"]
 
     bax = "dp" if "dp" in axes else None
     cache_spec = P(None, bax, None, "tp")
+    anc_in = ()
+    anc_spec = ()
+    if group > 1:
+        assert anc is not None
+        anc_in = (anc,)
+        anc_spec = (P(None, bax, None),)
     fn = jax.shard_map(
         body, mesh=mesh,
         in_specs=(h_partition_specs(h), P(bax, None), P(),
-                  P(bax, None), cache_spec, cache_spec),
+                  P(bax, None), cache_spec, cache_spec) + anc_spec,
         out_specs=(P(bax, None), cache_spec, cache_spec),
         check_vma=False)
     hid, k_new, v_new = fn(h, x, pos, kv_valid, kv_cache["k"],
-                           kv_cache["v"])
+                           kv_cache["v"], *anc_in)
     out_cache = dict(kv_cache)
     out_cache["k"] = k_new
     out_cache["v"] = v_new

@@ -139,3 +139,91 @@ def test_generate_tp_kernel_runs(monkeypatch):
     np.testing.assert_array_equal(np.asarray(toks), np.asarray(toks2))
     assert np.all((np.asarray(toks) >= 0) & (np.asarray(toks) < 50))
     assert np.all(np.asarray(lens) >= 0)
+
+
+@pytest.mark.parametrize("K,B", [(2, 4), (3, 12)])
+def test_tp_decode_step_anc_parity(K, B):
+    """Beam-ancestry selection composes with the tp=2 shard (r5): the
+    where-chain acts on batch rows, orthogonal to the head-sliced Dl axis,
+    so the unordered-cache + anc-map run must be BIT-identical to the tp
+    kernel on a physically ancestry-gathered cache — same guarantee the
+    single-chip kernel proves in test_decode_kernel.py. B*K <= 12 is the
+    gate (64-slot kv blocks; engine/decode.py::_fused_decode_ok)."""
+    from indextts_tpu.engine.beam import _anc_flat
+
+    S, pos = 128, 70
+    params, x, cache, mask, posv = _setup(B=B, S=S, pos=pos)
+    nprng = np.random.default_rng(42)
+    anc = nprng.integers(0, K, size=(B, S)).astype(np.int32)
+    flat = _flat(cache)
+    idx = (np.arange(B)[:, None] // K) * K + anc            # (B, S) abs rows
+    gathered = {kk: jnp.asarray(np.asarray(v)[:, idx, np.arange(S), :])
+                for kk, v in flat.items()}
+    mesh = _tp_mesh()
+    gpt_tp = gpt_tp_layout(params)
+
+    ref_h, ref_cache = tp_decode_step(mesh, gpt_tp, x, DIMS, posv, gathered,
+                                      mask, interpret=pltpu.InterpretParams())
+    got_h, got_cache = tp_decode_step(mesh, gpt_tp, x, DIMS, posv, flat, mask,
+                                      anc=_anc_flat(jnp.asarray(anc), S, 64),
+                                      group=K,
+                                      interpret=pltpu.InterpretParams())
+    np.testing.assert_array_equal(np.asarray(got_h, np.float32),
+                                  np.asarray(ref_h, np.float32))
+    # the newly written row is each slot's own k/v in both schemes
+    for key in ("k", "v"):
+        np.testing.assert_array_equal(
+            np.asarray(got_cache[key][:, :, pos], np.float32),
+            np.asarray(ref_cache[key][:, :, pos], np.float32))
+
+
+def test_generate_beam_tp_kernel(monkeypatch):
+    """generate_beam routes through the tp kernel with in-kernel ancestry
+    (the reference's DEFAULT decode is num_beams=3, infer_v2.py:532) and is
+    token-identical to the gather path on the same tp kernel."""
+    from indextts_tpu.config import ConditionModuleConfig, GPTConfig
+    from indextts_tpu.engine import decode as dec
+    from indextts_tpu.engine.beam import generate_beam
+    from indextts_tpu.engine.decode import SamplingConfig
+    from indextts_tpu.models.gpt.unified_voice import init_unified_voice
+    from indextts_tpu.models.gpt.gpt2 import quantize_gpt2_int8
+    from indextts_tpu.nn import InitRng
+
+    cfg = GPTConfig(
+        layers=2, model_dim=1280, heads=20, max_text_tokens=30,
+        max_mel_tokens=60, number_text_tokens=40, number_mel_codes=50,
+        start_mel_token=48, stop_mel_token=49,
+        condition_module=ConditionModuleConfig(
+            output_size=32, linear_units=48, attention_heads=2, num_blocks=1,
+            input_layer="linear", perceiver_mult=2),
+        emo_condition_module=ConditionModuleConfig(
+            output_size=32, linear_units=48, attention_heads=2, num_blocks=1,
+            input_layer="linear", perceiver_mult=2))
+    dims = GPT2Dims(cfg.layers, cfg.model_dim, cfg.heads)
+    params = init_unified_voice(InitRng(0), cfg)
+    params["gpt"] = gpt_tp_layout(quantize_gpt2_int8(params["gpt"]))
+    rng = np.random.default_rng(3)
+    B, P, K = 1, 7, 3
+    prefix = jnp.asarray(rng.normal(0, 0.3, (B, P, cfg.model_dim)),
+                         jnp.bfloat16)
+    mask = jnp.ones((B, P), bool)
+    key = jax.random.PRNGKey(5)
+    sampling = SamplingConfig(do_sample=False, num_beams=K)
+    mesh = _tp_mesh()
+
+    monkeypatch.setenv("INDEXTTS_FUSED_DECODE", "interp")
+    monkeypatch.setattr(dec, "TP_MESH", mesh)
+    assert dec._fused_decode_ok(params, dims, B * K, kv_quant=False,
+                                beam=True) == "tp"
+    generate_beam.clear_cache()
+    monkeypatch.setenv("INDEXTTS_BEAM_ANC", "1")
+    toks_a, lens_a = generate_beam(params, cfg, dims, prefix, mask, key,
+                                   max_new_tokens=3, sampling=sampling)
+    generate_beam.clear_cache()
+    monkeypatch.setenv("INDEXTTS_BEAM_ANC", "0")
+    toks_g, lens_g = generate_beam(params, cfg, dims, prefix, mask, key,
+                                   max_new_tokens=3, sampling=sampling)
+    generate_beam.clear_cache()
+    np.testing.assert_array_equal(np.asarray(toks_a), np.asarray(toks_g))
+    np.testing.assert_array_equal(np.asarray(lens_a), np.asarray(lens_g))
+    assert np.all((np.asarray(toks_a) >= 0) & (np.asarray(toks_a) < 50))
