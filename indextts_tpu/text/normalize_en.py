@@ -242,11 +242,28 @@ def _verb_measure(m: re.Match) -> str:
     return ("minus " if neg else "") + body + " " + _unit_words(unit, singular)
 
 
-def _verb_decade(m: re.Match) -> str:
-    words = year_to_en(int(m.group("dec"))).split()
+def _pluralize_decade(words_str: str) -> str:
+    words = words_str.split()
     last = words[-1]
     words[-1] = last[:-1] + "ies" if last.endswith("y") else last + "s"
     return " ".join(words)
+
+
+def _verb_decade(m: re.Match) -> str:
+    return _pluralize_decade(year_to_en(int(m.group("dec"))))
+
+
+def _verb_decade2(m: re.Match) -> str:
+    # two-digit decades: "the 90s" / "'90s" -> "the nineties" (r5
+    # correction #2; was read as a pluralized cardinal "ninetys")
+    return _pluralize_decade(num_to_en(int(m.group("dc2"))))
+
+
+def _verb_range(m: re.Match) -> str:
+    # "50-60" -> "fifty to sixty" (r5 correction #1; the hyphen was read
+    # as a glued "minus"). NeMo/tn range grammar family.
+    return (number_token_to_en(m.group("ra")) + " to "
+            + number_token_to_en(m.group("rb")))
 
 
 def _verb_year(m: re.Match) -> str:
@@ -279,24 +296,28 @@ _MASTER = re.compile(
     r"|(?P<cur>[$€£¥￥])(?P<mw>\d+(?:,\d{3})*)(?:\.(?P<mf>\d+))?"
     r"(?:\s+(?P<msc>million|billion|trillion))?"
     # percent
-    r"|(?P<pneg>-)?(?P<pw>\d+(?:,\d{3})*)(?:\.(?P<pf>\d+))?\s?%"
+    r"|(?P<pneg>(?<![A-Za-z])-)?(?P<pw>\d+(?:,\d{3})*)(?:\.(?P<pf>\d+))?\s?%"
     # ordinal suffix: 1st, 23rd
     r"|(?<!\d)(?P<on>\d+)(?:st|nd|rd|th)(?![a-z])"
     # fraction: 3/4
     r"|(?<![\d/])(?P<fn>\d{1,4})/(?P<fd>\d{1,4})(?![\d/])"
-    # phone: 555-123-4567, (555) 123-4567, 10+ digit strings
-    r"|(?<!\d)(?P<ph>(?:\(\d{3}\)\s?|\d{3}-)\d{3}-\d{4}|\d{10,15})(?!\d)"
+    # phone: 555-123-4567, (555) 123-4567, 1-800-555-0199, 10+ digit strings
+    r"|(?<!\d)(?P<ph>(?:1-)?(?:\(\d{3}\)\s?|\d{3}-)\d{3}-\d{4}|\d{10,15})(?!\d)"
     # measure: 5kg, 3.5 km
-    r"|(?P<uneg>-)?(?P<uw>\d+(?:,\d{3})*)(?:\.(?P<uf>\d+))?\s?"
+    r"|(?P<uneg>(?<![A-Za-z])-)?(?P<uw>\d+(?:,\d{3})*)(?:\.(?P<uf>\d+))?\s?"
     r"(?P<unit>" + _UNIT_ALT + r")(?![A-Za-z])"
-    # decades: the 1980s / 2010s
+    # integer ranges: 50-60, page 5-10 (before ordinal/cardinal so the
+    # hyphen is "to", not a glued "minus")
+    r"|(?<![\d,.\-])(?P<ra>\d{1,4})-(?P<rb>\d{1,4})(?![\d,.\-])"
+    # decades: the 1980s / 2010s; two-digit '90s / 90s
     r"|(?<![\d,.])(?P<dec>(?:1[6-9]|20)\d0)s(?![a-z\d])"
+    r"|(?<![\d,.])(?P<dc2>[2-9]0)s(?![a-z\d])"
     # bare year: 1999 (heuristic: 4-digit 1600-2099 standalone)
     r"|(?<![\d,.])(?P<yrx>1[6-9]\d{2}|20\d{2})(?![\d,.])(?!\s*(?:" + _UNIT_ALT + r"))"
     # decimal
-    r"|(?P<cneg>-)?(?P<cw>\d+(?:,\d{3})*)\.(?P<cf>\d+)"
+    r"|(?P<cneg>(?<![A-Za-z])-)?(?P<cw>\d+(?:,\d{3})*)\.(?P<cf>\d+)"
     # cardinal
-    r"|(?P<nneg>-)?(?P<num>\d+(?:,\d{3})*)",
+    r"|(?P<nneg>(?<![A-Za-z])-)?(?P<num>\d+(?:,\d{3})*)",
     re.IGNORECASE,
 )
 
@@ -310,11 +331,51 @@ _VERBALIZERS = {
     "fn": _verb_fraction,
     "ph": _verb_phone,
     "uw": _verb_measure,
+    "ra": _verb_range,
     "dec": _verb_decade,
+    "dc2": _verb_decade2,
     "yrx": _verb_year,
     "cw": _verb_decimal,
     "num": _verb_cardinal,
 }
+
+# ---------------------------------------------------------------------------
+# roman numerals (tn english roman grammar family): "Chapter XIV" ->
+# "Chapter fourteen" (structural context), "Henry VIII" -> "Henry the
+# eighth" (regnal-name context — a preceding capitalized word). Single
+# letters (I, V, X, ...) are never converted: too ambiguous.
+# ---------------------------------------------------------------------------
+_ROMAN_VAL = {"I": 1, "V": 5, "X": 10, "L": 50, "C": 100, "D": 500, "M": 1000}
+_ROMAN_CARDINAL_CTX = {"chapter", "part", "section", "act", "volume", "book",
+                       "page", "war", "phase", "stage", "article", "grade",
+                       "type", "class", "level"}
+_ROMAN_RE = re.compile(
+    r"(?P<pre>\b[A-Za-z]+)(?P<sp>[  ]+)"
+    r"(?P<rom>(?=[IVXLC]{2,})(?:X{0,3})(?:IX|IV|V?I{0,3}|XL|L?X{0,3}))\b"
+    r"(?![a-z.])")
+
+
+def roman_to_int(s: str) -> int:
+    total = 0
+    for i, c in enumerate(s):
+        v = _ROMAN_VAL[c]
+        total += -v if i + 1 < len(s) and _ROMAN_VAL[s[i + 1]] > v else v
+    return total
+
+
+def _verb_roman(m: re.Match) -> str:
+    rom = m.group("rom")
+    if not rom or len(rom) < 2:
+        return m.group(0)
+    n = roman_to_int(rom)
+    if n <= 0 or n > 100:
+        return m.group(0)
+    pre = m.group("pre")
+    if pre.lower() in _ROMAN_CARDINAL_CTX:
+        return pre + m.group("sp") + num_to_en(n)
+    if pre[0].isupper():  # name context -> regnal ordinal
+        return pre + m.group("sp") + "the " + ord_to_en(n)
+    return m.group(0)
 
 # whitelist abbreviations (tn english/data/whitelist.tsv subset)
 _WHITELIST = [
@@ -327,8 +388,17 @@ _WHITELIST = [
     (re.compile(r"\bi\.e\.", re.I), "that is"),
     (re.compile(r"\bvs\.?(?=\s)", re.I), "versus"),
     (re.compile(r"\bNo\.(?=\s?\d)"), "number"),
+    (re.compile(r"\b24/7\b"), "twenty four seven"),
     (re.compile(r"&"), " and "),
 ]
+
+# serial/alphanumeric split (tn english serial family): "A4" -> "A four",
+# "atan2" -> "atan two", "B2B" -> "B two B". Ordinal suffixes (1st/2nd/...),
+# plural/decade 's', and am/pm survive unsplit so their own rules still see
+# them (r5 correction #3; glued digits were verbalized with no space).
+_SERIAL_SPLIT_DL = re.compile(
+    r"(?<=\d)(?=(?!(?:st|nd|rd|th|s|am|pm)\b)[A-Za-z])")
+_SERIAL_SPLIT_LD = re.compile(r"(?<=[A-Za-z])(?=\d)")
 
 
 class EnNormalizer:
@@ -338,6 +408,9 @@ class EnNormalizer:
     def normalize(self, text: str) -> str:
         for pat, repl in _WHITELIST:
             text = pat.sub(repl, text)
+        text = _ROMAN_RE.sub(_verb_roman, text)
+        text = _SERIAL_SPLIT_DL.sub(" ", text)
+        text = _SERIAL_SPLIT_LD.sub(" ", text)
 
         def repl_fn(m: re.Match) -> str:
             for anchor, fn in _VERBALIZERS.items():
