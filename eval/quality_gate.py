@@ -118,7 +118,7 @@ def main() -> int:
               max_text_tokens_per_segment=8, verbose=False)
     outs = {}
     codes = {}
-    for quant in (None, "int8", "int8kv"):
+    for quant in (None, "int8", "int8kv", "int4"):
         tts = IndexTTS2(cfg_path=None, model_dir=d, cfg=tiny_config(),
                         dtype=jnp.float32, quantization=quant)
         tts.capture = []
@@ -126,18 +126,39 @@ def main() -> int:
         outs[quant] = wav.astype(np.float32)[:, 0] / 32768.0
         codes[quant] = np.asarray(tts.capture[0]["codes"])
 
+    # spec-decode lane (r5, default-on path): the self-gating speculative
+    # decoder must be token/audio-identical to the plain sampler on the CPU
+    # f32 lane (device-side float reassociation is the documented caveat,
+    # docs/KERNELS.md §1 — the CPU lane is where exactness is pinned)
+    import jax as _jax
+
+    tts_s = IndexTTS2(cfg_path=None, model_dir=d, cfg=tiny_config(),
+                      dtype=jnp.float32, quantization=None)
+    kw1 = dict(kw, text="hello world .", max_text_tokens_per_segment=120)
+    os.environ["INDEXTTS_SPEC_DECODE"] = "0"
+    tts_s._rng = _jax.random.PRNGKey(3)
+    _, wav_plain = tts_s.infer(**kw1)
+    os.environ.pop("INDEXTTS_SPEC_DECODE", None)  # default-on
+    tts_s._rng = _jax.random.PRNGKey(3)
+    _, wav_spec = tts_s.infer(**kw1)
+    spec_match = bool(np.array_equal(wav_plain, wav_spec))
+
     threshold = 8.0
     m_int8 = float(mcd(outs[None], outs["int8"], sr=22050))
     m_int8kv = float(mcd(outs["int8"], outs["int8kv"], sr=22050))
+    m_int4 = float(mcd(outs["int8"], outs["int4"], sr=22050))
     cos, agree = logit_agreement()
     ok = (np.isfinite(m_int8) and m_int8 <= threshold
           and np.isfinite(m_int8kv) and m_int8kv <= threshold
-          and cos > 0.995 and agree >= 0.95)
+          and np.isfinite(m_int4) and m_int4 <= threshold
+          and cos > 0.995 and agree >= 0.95 and spec_match)
     print(json.dumps({
         "mcd_int8_vs_bf16": round(m_int8, 3),
         "mcd_int8kv_vs_int8": round(m_int8kv, 3),
+        "mcd_int4_vs_int8": round(m_int4, 3),
         "greedy_codes_int8_match": bool(np.array_equal(codes[None],
                                                        codes["int8"])),
+        "spec_decode_audio_match": spec_match,
         "logit_cosine_int8": round(cos, 5),
         "logit_argmax_agree_int8": round(agree, 4),
         "threshold_db": threshold, "ok": bool(ok)}))
