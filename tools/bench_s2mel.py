@@ -66,27 +66,37 @@ def main():
               f"({best * 40:.1f} ms/step at 25 steps)", flush=True)
         return best
 
+    # (wn_pad, packed, flash, adaln_f32) — packed-pair attention is the
+    # production default (r4); flash/dense rows document the dispatcher's
+    # fallbacks at this shape
     results = {}
-    for wn_pad, flash, ada in (("edgefix", "1", "0"), ("reflect", "1", "0"),
-                               ("zero", "1", "0"), ("edgefix", "0", "0"),
-                               ("edgefix", "1", "1")):
+    for wn_pad, packed, flash, ada in (
+            ("edgefix", "1", "1", "0"),   # production default
+            ("reflect", "1", "1", "0"),   # suspect: per-layer pad gather
+            ("zero", "1", "1", "0"),      # pad-cost bound (wrong at edges)
+            ("edgefix", "0", "1", "0"),   # flash attention fallback
+            ("edgefix", "0", "0", "0"),   # dense attention fallback
+            ("edgefix", "1", "1", "1")):  # suspect: adaLN f32 elementwise
         os.environ["INDEXTTS_WN_PAD"] = wn_pad
+        os.environ["INDEXTTS_PACKED_ATTN"] = packed
         os.environ["INDEXTTS_FLASH_DIT"] = flash
         os.environ["INDEXTTS_ADALN_F32"] = ada
         fn.clear_cache()
-        results[(wn_pad, flash, ada)] = timed(
-            f"pad={wn_pad} flash={flash} adaln_f32={ada}")
+        results[(wn_pad, packed, flash, ada)] = timed(
+            f"pad={wn_pad} packed={packed} flash={flash} adaln_f32={ada}")
 
-    base = results[("edgefix", "1", "0")]
+    base = results[("edgefix", "1", "1", "0")]
     print(f"\nedgefix vs reflect-gather: "
-          f"{(results[('reflect', '1', '0')] - base) * 1e3:.1f} ms saved")
+          f"{(results[('reflect', '1', '1', '0')] - base) * 1e3:.1f} ms saved")
     print(f"edgefix vs zero bound: "
-          f"{(base - results[('zero', '1', '0')]) * 1e3:.1f} ms residual")
-    print(f"flash-vs-dense delta: "
-          f"{(results[('edgefix', '0', '0')] - base) * 1e3:.1f} ms "
-          f"(positive = flash wins)")
+          f"{(base - results[('zero', '1', '1', '0')]) * 1e3:.1f} ms residual")
+    print(f"packed-vs-flash delta: "
+          f"{(results[('edgefix', '0', '1', '0')] - base) * 1e3:.1f} ms "
+          f"(positive = packed wins)")
+    print(f"packed-vs-dense delta: "
+          f"{(results[('edgefix', '0', '0', '0')] - base) * 1e3:.1f} ms")
     print(f"adaLN f32 elementwise cost: "
-          f"{(results[('edgefix', '1', '1')] - base) * 1e3:.1f} ms")
+          f"{(results[('edgefix', '1', '1', '1')] - base) * 1e3:.1f} ms")
 
 
 if __name__ == "__main__":

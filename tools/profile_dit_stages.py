@@ -42,21 +42,26 @@ def main():
     jax.jit(lambda x: x * 2)(jnp.ones((8, 128))).block_until_ready()
     print("warm", flush=True)
 
+    import os
+
+    # production casts s2mel params to bf16 (pipeline/infer_v2.py
+    # cast_tree(self.dtype)); INDEXTTS_PROF_DTYPE=f32 for the f32 lane
+    dt = (jnp.float32 if os.environ.get("INDEXTTS_PROF_DTYPE", "bf16")
+          in ("f32", "float32") else jnp.bfloat16)
+    print(f"profile dtype: {dt.__name__}", flush=True)
     s2 = S2MelConfig()
     cfg, w = s2.DiT, s2.wavenet
     params = D.init_dit(InitRng(0), s2)
     params = jax.device_put(jax.tree_util.tree_map(
-        lambda a: np.asarray(a, np.float32) if hasattr(a, "dtype") else a,
-        params))
+        lambda a: np.asarray(a, np.float32).astype(dt)
+        if hasattr(a, "dtype") else a, params))
 
     r = np.random.default_rng(0)
-    x0 = jnp.asarray(r.standard_normal((B, T, cfg.in_channels)), jnp.float32)
-    prompt = jnp.zeros((B, T, cfg.in_channels), jnp.float32)
+    x0 = jnp.asarray(r.standard_normal((B, T, cfg.in_channels)), dt)
+    prompt = jnp.zeros((B, T, cfg.in_channels), dt)
     lens = jnp.full((B,), T - 64, jnp.int32)
-    style = jnp.asarray(r.standard_normal((B, s2.style_encoder.dim)),
-                        jnp.float32)
-    cond = jnp.asarray(r.standard_normal((B, T, cfg.content_dim)),
-                       jnp.float32)
+    style = jnp.asarray(r.standard_normal((B, s2.style_encoder.dim)), dt)
+    cond = jnp.asarray(r.standard_normal((B, T, cfg.content_dim)), dt)
     freqs = jnp.asarray(precompute_freqs_cis(T, cfg.head_dim, cfg.rope_base))
 
     H, Dh, Dm = cfg.num_heads, cfg.head_dim, cfg.hidden_dim
@@ -144,7 +149,7 @@ def main():
                             hn = hn * (1 + sc[:, None, :]) + sh[:, None, :]
                             hn = nn.dense(p["final_layer"]["linear"], hn)
                             out = nn.conv1d(p["conv2"], hn, padding="VALID")
-                return xc + 0.04 * out, None
+                return xc + (0.04 * out).astype(xc.dtype), None
 
             x, _ = lax.scan(one, x, jnp.arange(STEPS))
             return x[:1, :1, :1]
@@ -219,7 +224,7 @@ def main():
 
                 xb, _ = lax.scan(body, x_in, p["transformer"]["layers"])
                 xb = D._ada_ln(p["transformer"]["norm"], xb, c, cfg.norm_eps)
-                return xc + 0.04 * xb[..., :cfg.in_channels], None
+                return xc + (0.04 * xb[..., :cfg.in_channels]).astype(xc.dtype), None
             x, _ = lax.scan(one, x, jnp.arange(STEPS))
             return x[:1, :1, :1]
         jf = jax.jit(g)
