@@ -157,7 +157,12 @@ def dit_backbone_forward(p: Params, cfg: DiTConfig, x: jnp.ndarray,
     on_tpu = jax.default_backend() in ("tpu", "axon")
     kernel_ok = (not cfg.is_causal and lengths is not None and T % 128 == 0
                  and on_tpu and seq_sharding is None)
-    use_packed = (kernel_ok and T <= 3072 and H % 2 == 0 and 2 * Dh == 128
+    # T cap = the r5 serving envelope (2688-frame mel bucket + 768-frame
+    # prompt bucket): device-probed at T=3200/3456 under the kernel's
+    # 100 MB vmem limit — packed 0.56/0.70 ms/layer vs dense 1.92/2.11
+    # (tools/probe_attn_t3456.py; parity 1e-3 bf16 noise). Beyond 3456 the
+    # unrolled f32 score temporaries outgrow the limit -> dense fallback.
+    use_packed = (kernel_ok and T <= 3456 and H % 2 == 0 and 2 * Dh == 128
                   and os.environ.get("INDEXTTS_PACKED_ATTN", "1") != "0")
     use_flash = (kernel_ok and T <= 1536
                  and os.environ.get("INDEXTTS_FLASH_DIT", "1") != "0")
