@@ -198,3 +198,31 @@ def test_preset_payload_roundtrip_and_details(tmp_path):
     presets.delete_preset("demo")
     choices, has = webui.refresh_preset_choices()
     assert choices == [""] and not has
+
+
+def test_i18n_json_locale(tmp_path, monkeypatch):
+    """JSON-locale i18n (reference tools/i18n contract): shipped en_US/zh_CN
+    files cover every webui string, unknown keys pass through, missing
+    languages fall back to en_US, and user locale files override the inline
+    pairs through webui.I18n."""
+    import webui
+    from indextts_tpu.utils import i18n as i18n_mod
+
+    assert set(i18n_mod.scan_language_list()) >= {"en_US", "zh_CN"}
+    auto = i18n_mod.I18nAuto("en_US")
+    assert auto("生成语音") == "Generate"
+    assert auto("not-a-key") == "not-a-key"
+    assert repr(auto) == "Use Language: en_US"
+    zh = i18n_mod.I18nAuto("zh_CN")
+    assert zh("生成语音") == "生成语音"
+    assert i18n_mod.I18nAuto("xx_YY").language == "en_US"  # fallback
+
+    en = webui.I18n("en")
+    assert en.t("生成语音", "Generate") == "Generate"
+    # locale file wins over the inline pair (retranslation without code)
+    fake = tmp_path / "fr_FR.json"
+    fake.write_text('{"生成语音": "Générer"}', encoding="utf-8")
+    monkeypatch.setattr(i18n_mod, "I18N_JSON_DIR", str(tmp_path))
+    fr = webui.I18n("fr_FR")
+    assert fr.t("生成语音", "Generate") == "Générer"
+    assert fr.t("未翻译", "untranslated") == "untranslated"

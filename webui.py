@@ -48,11 +48,25 @@ ADVANCED_PARAM_KEYS = ("do_sample", "top_p", "top_k", "temperature",
 
 
 class I18n:
+    """UI string lookup: JSON locale files (reference tools/i18n contract,
+    `indextts_tpu/locale/<lang>.json`, keys are the zh source strings) with
+    the inline zh/en pair as fallback — so a user-dropped locale file can
+    retranslate any string without code changes."""
+
     def __init__(self, lang: str = "en"):
         self.zh = lang.startswith("zh")
+        self.map = {}
+        try:
+            from indextts_tpu.utils.i18n import I18nAuto
+
+            full = {"en": "en_US", "zh": "zh_CN"}.get(lang, lang)
+            self.map = I18nAuto(full).language_map
+        except Exception:
+            pass
 
     def t(self, zh: str, en: str) -> str:
-        return zh if self.zh else en
+        default = zh if self.zh else en
+        return self.map.get(zh, default)
 
 
 def load_example_cases(path: str = "examples/cases.jsonl"):
