@@ -62,10 +62,40 @@ def test_sharded_gpt_forward_matches_single_device():
 
 
 def test_train_step_multichip():
-    """The full dryrun (mesh + sharded GPT-CE + CFM train step) as a test."""
-    import __graft_entry__ as ge
+    """The full dryrun (mesh + sharded GPT-CE + CFM train step) as a test.
 
-    ge.dryrun_multichip(8)
+    Runs in a SUBPROCESS with one retry: on a loaded 1-CPU box the XLA CPU
+    backend's collective rendezvous can hit its 40 s termination timeout
+    and hard-abort the process ("Expected N threads to join") — an
+    environment artifact, not a sharding bug (the identical code passes on
+    an idle box; see CLAUDE.md). In-process that abort would kill the whole
+    pytest run; isolation converts it into a retryable failure."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # the axon sitecustomize pins jax_platforms at interpreter start; env
+    # vars do NOT override it — an explicit config.update does (CLAUDE.md)
+    code = ("import jax; jax.config.update('jax_platforms', 'cpu'); "
+            "import __graft_entry__ as ge; ge.dryrun_multichip(8); "
+            "print('DRYRUN_OK')")
+    env = {**os.environ,
+           "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+           "JAX_PLATFORMS": "cpu"}
+    last = None
+    for attempt in range(2):
+        proc = subprocess.run([sys.executable, "-c", code], cwd=repo,
+                              env=env, capture_output=True, text=True,
+                              timeout=3000)
+        last = proc
+        if proc.returncode == 0 and "DRYRUN_OK" in proc.stdout:
+            return
+        if "rendezvous" not in (proc.stderr or "") and proc.returncode != -6:
+            break  # a real failure — don't mask it with a retry
+    raise AssertionError(
+        f"dryrun_multichip(8) failed (rc={last.returncode}):\n"
+        f"{last.stdout[-2000:]}\n{last.stderr[-3000:]}")
 
 
 def test_train_step_single_device():
