@@ -268,40 +268,81 @@ def main():
     # DiT attention vs dense (MCD of the single-segment wav) and the
     # in-kernel beam-ancestry path vs the per-step cache gather (designed
     # bit-identical; recorded as exact match + MCD)
+    # The attn/beam env knobs are read at TRACE time, so each leg must
+    # clear the owning jit's cache or the second leg silently reuses the
+    # first leg's compiled program and the A/B measures nothing (caught in
+    # the r5 review: both rows reported bit-identical wavs).
+    # packed-attn lane: ONE full-scale dit_forward, packed vs dense, at a
+    # serving shape. A single step is the honest parity surface — e2e MCD
+    # through 25 Euler steps of a RANDOM-weight velocity field amplifies
+    # the kernel's ~1e-3 bf16 noise chaotically (measured 10.4 dB on audio
+    # that a real checkpoint's smooth field would not produce), so it
+    # gates nothing. rel-L2 of the velocity field gates the kernel.
     dev_quality = {}
     try:
-        from indextts_tpu.utils.metrics import mcd as _mcd
+        import jax.numpy as jnp
 
-        run(text_short)
-        wav_default = last["wav"]
+        from indextts_tpu.models.s2mel.dit import dit_forward
+
+        s2 = tts.cfg.s2mel
+        Bq, Tq = 2, 1408
+        rq = np.random.default_rng(7)
+        xq = jnp.asarray(rq.standard_normal((Bq, Tq, s2.DiT.in_channels)),
+                         jnp.bfloat16)
+        pq = jnp.zeros((Bq, Tq, s2.DiT.in_channels), jnp.bfloat16)
+        lq = jnp.full((Bq,), Tq - 100, jnp.int32)
+        tq = jnp.full((Bq,), 0.5, jnp.float32)
+        sq = jnp.asarray(rq.standard_normal((Bq, s2.style_encoder.dim)),
+                         jnp.bfloat16)
+        cq = jnp.asarray(rq.standard_normal((Bq, Tq, s2.DiT.content_dim)),
+                         jnp.bfloat16)
+
+        def v_of():
+            f = jax.jit(lambda p: dit_forward(
+                p["cfm"], s2, xq, pq, lq, tq, sq, cq))
+            return np.asarray(f(tts.s2mel_params), np.float32)
+
+        v_packed = v_of()
         os.environ["INDEXTTS_PACKED_ATTN"] = "0"
-        run(text_short)
-        m_attn = float(_mcd(wav_default, last["wav"], sr=22050))
-        dev_quality["mcd_packed_attn_vs_dense"] = round(m_attn, 3)
-        print(f"quality: packed-attn vs dense MCD {m_attn:.3f} dB",
-              file=sys.stderr)
+        os.environ["INDEXTTS_FLASH_DIT"] = "0"  # plain masked-softmax ref
+        v_dense = v_of()
+        rel = float(np.linalg.norm(v_packed - v_dense)
+                    / max(np.linalg.norm(v_dense), 1e-9))
+        dev_quality["packed_attn_rel_l2"] = round(rel, 5)
+        print(f"quality: packed-attn vs dense dit_forward rel-L2 {rel:.2e} "
+              f"(gate <= 2e-2; bf16 reassociation noise)", file=sys.stderr)
     except Exception as e:
         print(f"packed-attn quality row failed: {e!r}", file=sys.stderr)
     finally:
         os.environ.pop("INDEXTTS_PACKED_ATTN", None)
+        os.environ.pop("INDEXTTS_FLASH_DIT", None)
     try:
+        from indextts_tpu.engine.beam import generate_beam as _gb
         from indextts_tpu.utils.metrics import mcd as _mcd
 
+        _gb.clear_cache()
         run(text_short, num_beams=3)
         wav_anc = last["wav"]
         os.environ["INDEXTTS_BEAM_ANC"] = "0"
+        _gb.clear_cache()
         run(text_short, num_beams=3)
         m_beam = float(_mcd(wav_anc, last["wav"], sr=22050))
         dev_quality["beam_anc_audio_match"] = bool(
             np.array_equal(wav_anc, last["wav"]))
         dev_quality["mcd_beam_anc_vs_gather"] = round(m_beam, 3)
         print(f"quality: beam anc vs gather MCD {m_beam:.3f} dB, exact "
-              f"match {dev_quality['beam_anc_audio_match']}",
-              file=sys.stderr)
+              f"match {dev_quality['beam_anc_audio_match']} (designed "
+              f"bit-identical)", file=sys.stderr)
     except Exception as e:
         print(f"beam-anc quality row failed: {e!r}", file=sys.stderr)
     finally:
         os.environ.pop("INDEXTTS_BEAM_ANC", None)
+        try:
+            from indextts_tpu.engine.beam import generate_beam as _gb
+
+            _gb.clear_cache()
+        except Exception:
+            pass
 
     # quality block (VERDICT r3 item 8): tiny-lane checkpoint-free MCD +
     # logit-agreement gates for the shipping quant config, via a CPU
@@ -316,11 +357,11 @@ def main():
             capture_output=True, text=True, timeout=1800)
         quality = json.loads(proc.stdout.strip().splitlines()[-1])
         quality.update(dev_quality)
-        thr = quality.get("threshold_db", 8.0)
         quality["ok"] = bool(
             quality["ok"]
-            and dev_quality.get("mcd_packed_attn_vs_dense", 0.0) <= thr
-            and dev_quality.get("mcd_beam_anc_vs_gather", 0.0) <= thr)
+            and dev_quality.get("packed_attn_rel_l2", 0.0) <= 2e-2
+            and dev_quality.get("beam_anc_audio_match", True)
+            and dev_quality.get("mcd_beam_anc_vs_gather", 0.0) <= 0.01)
         print(f"quality gate: {quality}", file=sys.stderr)
     except Exception as e:
         print(f"quality gate failed: {e!r}", file=sys.stderr)

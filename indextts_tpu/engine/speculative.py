@@ -121,6 +121,13 @@ def _spec_span_body(params: Params, cfg: GPTConfig, dims: GPT2Dims, state,
     V = cfg.number_mel_codes
     stop = cfg.stop_mel_token
     fused = _fused_decode_ok(params, dims, B, sampling.kv_quant)
+    if max_new_tokens < 2:
+        # token 0 came from the prefill; the loop below would never run
+        # (cond: step=1 < end<=1 is false) but lax.cond still TRACES the
+        # chunk branch, whose gamma+1 >= 2 writes cannot fit a width-1
+        # token buffer — return the state unchanged (exactly what a
+        # never-entered while_loop does)
+        return state
     # a chunk's gamma+1 writes must FIT the (B, max_new_tokens) token buffer
     # at trace time, even though the runtime guard already skips chunks that
     # would cross `end` (short segments: max_mel_tokens=8 with gamma=8)

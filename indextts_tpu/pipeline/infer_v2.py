@@ -146,6 +146,9 @@ class IndexTTS2:
 
         # reference-audio caches (infer_v2.py:213-219)
         self.cache_spk_audio_prompt = None
+        # (gamma, chunks, committed, singles) of the last B=1 speculative
+        # decode — acceptance observability (tools/day_one.py)
+        self.last_spec_stats = None
         self.cache_spk = None
         self.cache_emo_audio_prompt = None
         self.cache_emo_cond = None
@@ -1057,13 +1060,17 @@ class IndexTTS2:
                     max_new_tokens=max_mel_tokens, sampling=sampling,
                     dtype=self.dtype, gamma=spec_gamma,
                     ngram=int(os.environ.get("INDEXTTS_SPEC_NGRAM", "2")))
-                # acceptance observability for deployments (tools/day_one.py
-                # sweeps gamma on real checkpoints through this)
+                # ONE batched host readback for lengths + stats (each
+                # readback is a full relay RTT); the stats ride along as
+                # acceptance observability for deployments
+                # (tools/day_one.py sweeps gamma through this)
+                code_lens_np, stats_np = jax.device_get((code_lens,
+                                                         spec_stats))
+                code_lens_np = np.asarray(code_lens_np)
                 self.last_spec_stats = (spec_gamma,
-                                        *(int(v) for v in
-                                          np.asarray(spec_stats)))
+                                        *(int(v) for v in stats_np))
                 if verbose:
-                    ch, com, sg = (int(v) for v in np.asarray(spec_stats))
+                    _, ch, com, sg = self.last_spec_stats
                     acc = ((com - ch) / (ch * spec_gamma)) if ch else 0.0
                     print(f">> spec decode: {ch} chunk verifies committed "
                           f"{com} tokens, {sg} single steps (per-draft "
@@ -1078,7 +1085,7 @@ class IndexTTS2:
                     prefix_embeds, prefix_mask, self._next_rng(),
                     max_new_tokens=max_mel_tokens, sampling=sampling,
                     dtype=self.dtype)
-            code_lens_np = np.asarray(code_lens)
+                code_lens_np = np.asarray(code_lens)
             gpt_gen_time += time.perf_counter() - m_start
 
             if not has_warned and int(code_lens_np[0]) >= max_mel_tokens:

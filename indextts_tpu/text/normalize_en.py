@@ -261,9 +261,18 @@ def _verb_decade2(m: re.Match) -> str:
 
 def _verb_range(m: re.Match) -> str:
     # "50-60" -> "fifty to sixty" (r5 correction #1; the hyphen was read
-    # as a glued "minus"). NeMo/tn range grammar family.
-    return (number_token_to_en(m.group("ra")) + " to "
-            + number_token_to_en(m.group("rb")))
+    # as a glued "minus"). NeMo/tn range grammar family. Year ranges keep
+    # the year reading: "1939-1945" -> "nineteen thirty nine to nineteen
+    # forty five" (r5 review correction — the plain-cardinal form regressed
+    # every date range to thousand-scale cardinals).
+    a, b = m.group("ra"), m.group("rb")
+
+    def one(tok):
+        if re.fullmatch(r"1[6-9]\d{2}|20\d{2}", tok):
+            return year_to_en(int(tok))
+        return number_token_to_en(tok)
+
+    return one(a) + " to " + one(b)
 
 
 def _verb_year(m: re.Match) -> str:
@@ -341,18 +350,28 @@ _VERBALIZERS = {
 
 # ---------------------------------------------------------------------------
 # roman numerals (tn english roman grammar family): "Chapter XIV" ->
-# "Chapter fourteen" (structural context), "Henry VIII" -> "Henry the
-# eighth" (regnal-name context — a preceding capitalized word). Single
-# letters (I, V, X, ...) are never converted: too ambiguous.
+# "Chapter fourteen" (structural-noun context), "Henry VIII" -> "Henry the
+# eighth" (regnal-NAME context, a whitelist mirroring tn's names list --
+# "any capitalized preceding word" fired on sentence-initial "The IV
+# drip"; r5 review correction). Single letters and non-canonical roman
+# strings (XXL, IIX) are never converted.
 # ---------------------------------------------------------------------------
 _ROMAN_VAL = {"I": 1, "V": 5, "X": 10, "L": 50, "C": 100, "D": 500, "M": 1000}
 _ROMAN_CARDINAL_CTX = {"chapter", "part", "section", "act", "volume", "book",
                        "page", "war", "phase", "stage", "article", "grade",
                        "type", "class", "level"}
+# regnal/papal given names (the tn english roman ordinal-context family)
+_ROMAN_NAME_CTX = {
+    "henry", "louis", "george", "edward", "elizabeth", "charles", "james",
+    "william", "richard", "philip", "philippe", "frederick", "napoleon",
+    "pius", "benedict", "paul", "john", "leo", "gregory", "urban",
+    "alexander", "catherine", "peter", "ivan", "nicholas", "felipe",
+    "carlos", "juan", "olaf", "olav", "gustav", "christian", "haakon",
+    "rama", "mehmed", "selim", "ramses", "ptolemy", "constantine",
+}
 _ROMAN_RE = re.compile(
-    r"(?P<pre>\b[A-Za-z]+)(?P<sp>[  ]+)"
-    r"(?P<rom>(?=[IVXLC]{2,})(?:X{0,3})(?:IX|IV|V?I{0,3}|XL|L?X{0,3}))\b"
-    r"(?![a-z.])")
+    r"(?P<pre>\b[A-Za-z]+)(?P<sp>[ \u00a0]+)"
+    r"(?P<rom>[IVXL]{2,8})\b(?![a-z.])")
 
 
 def roman_to_int(s: str) -> int:
@@ -363,17 +382,26 @@ def roman_to_int(s: str) -> int:
     return total
 
 
+def _int_to_roman(n: int) -> str:
+    out = []
+    for v, sym in ((50, "L"), (40, "XL"), (10, "X"), (9, "IX"), (5, "V"),
+                   (4, "IV"), (1, "I")):
+        while n >= v:
+            out.append(sym)
+            n -= v
+    return "".join(out)
+
+
 def _verb_roman(m: re.Match) -> str:
     rom = m.group("rom")
-    if not rom or len(rom) < 2:
-        return m.group(0)
     n = roman_to_int(rom)
-    if n <= 0 or n > 100:
+    # canonical form only: rejects XXL, IIX, VV, ... (sizes, acronyms)
+    if n <= 0 or n > 89 or _int_to_roman(n) != rom:
         return m.group(0)
     pre = m.group("pre")
     if pre.lower() in _ROMAN_CARDINAL_CTX:
         return pre + m.group("sp") + num_to_en(n)
-    if pre[0].isupper():  # name context -> regnal ordinal
+    if pre.lower() in _ROMAN_NAME_CTX and pre[0].isupper():
         return pre + m.group("sp") + "the " + ord_to_en(n)
     return m.group(0)
 

@@ -191,6 +191,13 @@ def test_corpus_size():
 #     ("Chapter XIV" -> "Chapter fourteen"), name context reads regnal
 #     ordinals ("Henry VIII" -> "Henry the eighth") — family previously
 #     missing entirely.
+#  8. (r5 review) roman name-context is a regnal-name WHITELIST and only
+#     canonical roman strings convert — "any capitalized word" fired on
+#     sentence-initial articles ("The IV drip" -> "The the fourth drip")
+#     and roman_to_int accepted XXL.
+#  9. (r5 review) year ranges keep year readings: "1939-1945" ->
+#     "nineteen thirty nine to nineteen forty five", not thousand-scale
+#     cardinals.
 # ===========================================================================
 
 from indextts_tpu.text.normalize_en import EnNormalizer
@@ -279,6 +286,15 @@ EN_CASES = [
     # --- negative guards ------------------------------------------------------
     ("mid-1990s", "mid-nineteen nineties"),                         # corr. 4
     ("I love IV bags", "I love IV bags"),   # 2-char roman needs context
+    # r5 review corrections: roman name-context is a whitelist (any
+    # capitalized word fired on sentence-initial articles), non-canonical
+    # roman strings never convert, year ranges keep year readings
+    ("The IV drip was inserted", "The IV drip was inserted"),
+    ("Sizes XXL and XL", "Sizes XXL and XL"),
+    ("The XI meeting", "The XI meeting"),
+    ("the war of 1939-1945",
+     "the war of nineteen thirty nine to nineteen forty five"),
+    ("2010-2015", "twenty ten to twenty fifteen"),
 ]
 
 

@@ -280,3 +280,40 @@ def test_long_segment_past_bucket_table_is_not_truncated(tts, model_dir,
     # the ad-hoc-bucket warning fired (config gap is loud, not silent)
     assert any("exceeds the largest configured bucket" in str(w.message)
                for w in rec)
+
+
+def test_long_segments_batched_path_not_truncated(tts, model_dir,
+                                                  monkeypatch):
+    """Same regression as above through the BATCHED multi-segment path
+    ([SB]: one synth program + chunked vocoder): every segment whose mel
+    target exceeds the bucket table must come back full-length."""
+    import warnings as _warnings
+
+    import jax
+
+    from indextts_tpu.pipeline import infer_v2 as iv2
+
+    monkeypatch.setitem(tts.cfg.engine.__dict__, "mel_len_buckets", (64, 128))
+    clen = 100
+    stop = tts.stop_mel_token
+
+    def fake_decode(params, cfg, dims, pe, pm, rng, max_new_tokens,
+                    sampling, dtype):
+        B = pe.shape[0]
+        codes = np.full((B, clen + 4), stop, np.int32)
+        codes[:, :clen] = 1
+        return jnp.asarray(codes), jnp.asarray([clen] * B, np.int32)
+
+    monkeypatch.setattr(iv2, "generate_adaptive", fake_decode)
+    tts._rng = jax.random.PRNGKey(12)
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore")
+        sr, wav = tts.infer(
+            spk_audio_prompt=os.path.join(model_dir, "prompt.wav"),
+            text="hello world . the cat . hello .", output_path=None,
+            max_mel_tokens=8, num_beams=1, verbose=False,
+            max_text_tokens_per_segment=4, interval_silence=0)
+    assert sr == 22050
+    nseg = 3
+    expect = int(np.float32(clen) * np.float32(1.72)) * 256
+    assert wav.shape[0] == nseg * expect, (wav.shape, nseg * expect)

@@ -353,3 +353,22 @@ def test_spec_adaptive_int8kv_matches(uv_params, dims, prefix):
                                          spans=(8, 16))
     np.testing.assert_array_equal(np.asarray(a_c), np.asarray(ref_c))
     np.testing.assert_array_equal(np.asarray(a_l), np.asarray(ref_l))
+
+
+def test_spec_max_new_tokens_one(uv_params, dims, prefix):
+    """max_new_tokens=1: the chunk branch cannot fit the width-1 token
+    buffer even at trace time — both spec entry points must fall through
+    to the prefill-only result and equal generate() (r5 review fix)."""
+    from indextts_tpu.engine.speculative import generate_spec_adaptive
+
+    emb, mask = prefix
+    key = jax.random.PRNGKey(0)
+    rc, rl = generate(uv_params, TINY, dims, emb, mask, key,
+                      max_new_tokens=1, sampling=SAMPLING, dtype=jnp.float32)
+    for fn in (generate_spec, generate_spec_adaptive):
+        c, l, stats = fn(uv_params, TINY, dims, emb, mask, key,
+                         max_new_tokens=1, sampling=SAMPLING,
+                         dtype=jnp.float32, gamma=4)
+        np.testing.assert_array_equal(np.asarray(c), np.asarray(rc))
+        np.testing.assert_array_equal(np.asarray(l), np.asarray(rl))
+        np.testing.assert_array_equal(np.asarray(stats), [0, 0, 0])

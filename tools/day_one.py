@@ -173,10 +173,17 @@ def step_spec_sweep(model_dir: str, dry_run: bool,
     ok = True
     for gamma in (4, 8):
         os.environ["INDEXTTS_SPEC_DECODE"] = str(gamma)
+        tts.last_spec_stats = None  # guard against a stale previous sweep
         try:
             tts._rng = jax.random.PRNGKey(0)
             tts.infer(spk_audio_prompt=prompt, text=text, output_path=None,
                       verbose=False, **kw)
+            if tts.last_spec_stats is None:
+                ok = False
+                print(f"  gamma={gamma}: no spec stats — the text segmented "
+                      f"into >1 segments (speculation is the B=1 path); "
+                      f"pass a shorter --text")
+                continue
             g, ch, com, sg = tts.last_spec_stats
             ratio = spec_commit_ratio(gamma)
             cpc = com / ch if ch else 0.0
