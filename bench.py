@@ -163,7 +163,10 @@ def main():
             r = dt / max(secs, 1e-6)
             plain_rtf = r if plain_rtf is None else min(plain_rtf, r)
         overhead = (single_rtf / plain_rtf - 1.0) * 100.0
-        spec_block = {"single_plain_rtf": round(plain_rtf, 5),
+        # spec_decode_rtf IS single_rtf: speculation is the default B=1
+        # path — repeated here so the artifact names the row explicitly
+        spec_block = {"spec_decode_rtf": round(single_rtf, 5),
+                      "single_plain_rtf": round(plain_rtf, 5),
                       "worst_case_overhead_pct": round(overhead, 2)}
         print(f"spec-decode A/B: default(on) {single_rtf:.4f} vs off "
               f"{plain_rtf:.4f} -> worst-case overhead {overhead:+.1f}%",
