@@ -320,22 +320,35 @@ def main():
         os.environ.pop("INDEXTTS_PACKED_ATTN", None)
         os.environ.pop("INDEXTTS_FLASH_DIT", None)
     try:
+        import indextts_tpu.engine.beam as _beam_mod
         from indextts_tpu.engine.beam import generate_beam as _gb
         from indextts_tpu.utils.metrics import mcd as _mcd
 
+        # prove each leg ran its intended path: generate_beam records the
+        # trace-time use_anc decision in last_use_anc; a silent fallback
+        # (e.g. fused=False under bf16/kv_quant, or S past the VMEM cap)
+        # would otherwise make this an anc-vs-anc / gather-vs-gather A/B
+        # that measures nothing (r5 review finding).
+        _beam_mod.last_use_anc = None
         _gb.clear_cache()
         run(text_short, num_beams=3)
+        anc_engaged = _beam_mod.last_use_anc
         wav_anc = last["wav"]
         os.environ["INDEXTTS_BEAM_ANC"] = "0"
+        _beam_mod.last_use_anc = None
         _gb.clear_cache()
         run(text_short, num_beams=3)
+        gather_engaged = _beam_mod.last_use_anc
         m_beam = float(_mcd(wav_anc, last["wav"], sr=22050))
+        dev_quality["beam_anc_engaged"] = bool(
+            anc_engaged is True and gather_engaged is False)
         dev_quality["beam_anc_audio_match"] = bool(
             np.array_equal(wav_anc, last["wav"]))
         dev_quality["mcd_beam_anc_vs_gather"] = round(m_beam, 3)
         print(f"quality: beam anc vs gather MCD {m_beam:.3f} dB, exact "
-              f"match {dev_quality['beam_anc_audio_match']} (designed "
-              f"bit-identical)", file=sys.stderr)
+              f"match {dev_quality['beam_anc_audio_match']}, paths "
+              f"engaged anc={anc_engaged}/gather={not gather_engaged} "
+              f"(designed bit-identical)", file=sys.stderr)
     except Exception as e:
         print(f"beam-anc quality row failed: {e!r}", file=sys.stderr)
     finally:
@@ -360,11 +373,21 @@ def main():
             capture_output=True, text=True, timeout=1800)
         quality = json.loads(proc.stdout.strip().splitlines()[-1])
         quality.update(dev_quality)
+        # a MISSING dev row fails the gate: an exception in either A/B leg
+        # must not read as "gated ok" (r5 review finding — the old .get()
+        # defaults were all passing values, so a relay hiccup passed
+        # vacuously)
+        required = ("packed_attn_rel_l2", "beam_anc_engaged",
+                    "beam_anc_audio_match", "mcd_beam_anc_vs_gather")
+        missing = [k for k in required if k not in dev_quality]
+        if missing:
+            quality["dev_rows_missing"] = missing
         quality["ok"] = bool(
-            quality["ok"]
-            and dev_quality.get("packed_attn_rel_l2", 0.0) <= 2e-2
-            and dev_quality.get("beam_anc_audio_match", True)
-            and dev_quality.get("mcd_beam_anc_vs_gather", 0.0) <= 0.01)
+            quality["ok"] and not missing
+            and dev_quality["packed_attn_rel_l2"] <= 2e-2
+            and dev_quality["beam_anc_engaged"]
+            and dev_quality["beam_anc_audio_match"]
+            and dev_quality["mcd_beam_anc_vs_gather"] <= 0.01)
         print(f"quality gate: {quality}", file=sys.stderr)
     except Exception as e:
         print(f"quality gate failed: {e!r}", file=sys.stderr)

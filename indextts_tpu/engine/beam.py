@@ -56,6 +56,13 @@ from indextts_tpu.ops.sampling import (apply_repetition_penalty, apply_temperatu
 
 NEG = jnp.float32(-1e9)
 
+# Which cache-reorder path the LAST TRACE of generate_beam chose (True =
+# in-kernel ancestry, False = per-step gather). Set at trace time only —
+# a cached program does not refresh it — so A/B harnesses must reset it
+# to None and `generate_beam.clear_cache()` before each leg to prove the
+# intended path actually engaged (bench.py's beam quality row does).
+last_use_anc = None
+
 # kv stream block length of the fused decode kernel (ops/pallas/decode_step):
 # 64 slots up to B*K=12, 32 for 13..24 (mirrors the kernel's own bs choice)
 _ANC_BS = 64
@@ -120,6 +127,8 @@ def generate_beam(params: Params, cfg: GPTConfig, dims: GPT2Dims,
     use_anc = (fused and K > 1 and B * K <= 24
                and S * B * K * 256 <= anc_cap
                and os.environ.get("INDEXTTS_BEAM_ANC", "1") != "0")
+    global last_use_anc
+    last_use_anc = bool(use_anc)
     anc_bs = _anc_bs(B * K)
     stop = cfg.stop_mel_token
     lp = sampling.length_penalty

@@ -1066,7 +1066,6 @@ class IndexTTS2:
                 # (tools/day_one.py sweeps gamma through this)
                 code_lens_np, stats_np = jax.device_get((code_lens,
                                                          spec_stats))
-                code_lens_np = np.asarray(code_lens_np)
                 self.last_spec_stats = (spec_gamma,
                                         *(int(v) for v in stats_np))
                 if verbose:

@@ -259,6 +259,13 @@ def _verb_decade2(m: re.Match) -> str:
     return _pluralize_decade(num_to_en(int(m.group("dc2"))))
 
 
+# 4-digit tokens read as years (1600-2099, the NeMo/tn heuristic window).
+# Single source for BOTH the bare-year _MASTER branch and the range
+# endpoints — widening one without the other would read "1492" as a year
+# but "1492-1503" as thousand-scale cardinals.
+_YEAR_PAT = r"1[6-9]\d{2}|20\d{2}"
+
+
 def _verb_range(m: re.Match) -> str:
     # "50-60" -> "fifty to sixty" (r5 correction #1; the hyphen was read
     # as a glued "minus"). NeMo/tn range grammar family. Year ranges keep
@@ -268,7 +275,7 @@ def _verb_range(m: re.Match) -> str:
     a, b = m.group("ra"), m.group("rb")
 
     def one(tok):
-        if re.fullmatch(r"1[6-9]\d{2}|20\d{2}", tok):
+        if re.fullmatch(_YEAR_PAT, tok):
             return year_to_en(int(tok))
         return number_token_to_en(tok)
 
@@ -322,7 +329,7 @@ _MASTER = re.compile(
     r"|(?<![\d,.])(?P<dec>(?:1[6-9]|20)\d0)s(?![a-z\d])"
     r"|(?<![\d,.])(?P<dc2>[2-9]0)s(?![a-z\d])"
     # bare year: 1999 (heuristic: 4-digit 1600-2099 standalone)
-    r"|(?<![\d,.])(?P<yrx>1[6-9]\d{2}|20\d{2})(?![\d,.])(?!\s*(?:" + _UNIT_ALT + r"))"
+    r"|(?<![\d,.])(?P<yrx>" + _YEAR_PAT + r")(?![\d,.])(?!\s*(?:" + _UNIT_ALT + r"))"
     # decimal
     r"|(?P<cneg>(?<![A-Za-z])-)?(?P<cw>\d+(?:,\d{3})*)\.(?P<cf>\d+)"
     # cardinal

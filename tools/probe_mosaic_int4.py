@@ -134,23 +134,11 @@ def main():
         print(f"int4 operand nbytes (XLA view): {packed4.nbytes} "
               f"(int8 packed: {packed.nbytes})", flush=True)
 
-    variants = [("base  ", kern_base, packed),
-                ("shift ", kern_shift, packed),
-                ("f32   ", kern_f32, packed),
-                ("i32   ", kern_i32, packed)]
-    if packed4 is not None:
-        variants.append(("native", kern_native, packed4))
-    for name, kern, parg in variants:
+    def bench_one(name, build, parg):
+        # lowering failures surface at trace/compile inside the first
+        # execution, so the whole build+run+min-of-3 sits in one try
         try:
-            f = pl.pallas_call(
-                kern,
-                out_shape=jax.ShapeDtypeStruct((8, C), jnp.float32),
-                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                          pl.BlockSpec(memory_space=pltpu.VMEM)],
-                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-                compiler_params=pltpu.CompilerParams(
-                    vmem_limit_bytes=100 * 2**20),
-            )
+            f = build()
             g = jax.jit(lambda p, x, f=f: f(p, x))
             out = np.asarray(g(parg, x))
             best = float("inf")
@@ -163,6 +151,23 @@ def main():
         except Exception as e:
             print(f"{name}: FAILS — {str(e).splitlines()[0][:120]}",
                   flush=True)
+
+    variants = [("base  ", kern_base, packed),
+                ("shift ", kern_shift, packed),
+                ("f32   ", kern_f32, packed),
+                ("i32   ", kern_i32, packed)]
+    if packed4 is not None:
+        variants.append(("native", kern_native, packed4))
+    for name, kern, parg in variants:
+        bench_one(name, lambda kern=kern: pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((8, C), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 2**20),
+        ), parg)
 
     # e) the decode kernel's actual pattern: weights live in an ANY-space
     # pool, each block DMA'd into a double-buffered VMEM scratch. Probe
@@ -202,30 +207,17 @@ def main():
     if packed4 is not None:
         dma_variants.insert(0, ("natdma", jnp.int4, packed4))
     for name, dt, parg in dma_variants:
-        try:
-            f = pl.pallas_call(
-                kern_natdma,
-                out_shape=jax.ShapeDtypeStruct((8, C), jnp.float32),
-                in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                          pl.BlockSpec(memory_space=pltpu.VMEM)],
-                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-                scratch_shapes=[pltpu.VMEM((2, 2 * R, C), dt),
-                                pltpu.SemaphoreType.DMA((2,))],
-                compiler_params=pltpu.CompilerParams(
-                    vmem_limit_bytes=100 * 2**20),
-            )
-            g = jax.jit(lambda p, x, f=f: f(p, x))
-            out = np.asarray(g(parg, x))
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                np.asarray(g(parg, x))
-                best = min(best, time.perf_counter() - t0)
-            print(f"{name}: LOWERS  {best / REPS * 1e6:7.1f} us/block  "
-                  f"sum={out.sum():.1f}", flush=True)
-        except Exception as e:
-            print(f"{name}: FAILS — {str(e).splitlines()[0][:120]}",
-                  flush=True)
+        bench_one(name, lambda dt=dt: pl.pallas_call(
+            kern_natdma,
+            out_shape=jax.ShapeDtypeStruct((8, C), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((2, 2 * R, C), dt),
+                            pltpu.SemaphoreType.DMA((2,))],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 2**20),
+        ), parg)
 
 
 if __name__ == "__main__":
