@@ -1,8 +1,9 @@
-"""In-XLA batched beam search / beam sample for the AR decode engine.
+"""In-XLA batched beam search / beam sample / diverse group beam search.
 
 Replaces HF `_beam_search` / `_beam_sample`
 (`gpt/transformers_generation_utils.py:3325`) — the reference's *default*
-decode mode is num_beams=3 with do_sample=True (`infer_v2.py:526-534`).
+decode mode is num_beams=3 with do_sample=True (`infer_v2.py:526-534`) —
+and `_group_beam_search` (`:3611`, see `generate_group_beam`).
 
 Semantics (matching HF BeamSearchScorer, early_stopping=False), applied
 independently to every row of a (B, P, D) left-padded prefix batch:
@@ -15,11 +16,17 @@ independently to every row of a (B, P, D) left-padded prefix batch:
   `transformers_generation_utils.py:3517`)
 - candidates scan in score order: an EOS candidate (from a top-K rank) closes
   a hypothesis; others fill the K live beam slots
-- hypothesis scores are normalized by hyp-length**length_penalty where the
-  hyp length counts the fake prefix ids too ((P_true + 1 + step), matching
-  HF BeamHypotheses.add on the reference's fake input_ids)
-- per-row termination: all hyp slots filled AND worst hyp >= best live beam
-  score; a finished row's state freezes while other rows keep decoding
+- hypothesis scores are normalized by generated_len**length_penalty where
+  generated_len counts ONLY the generated tokens — BeamSearchScorer.process
+  passes `generated_len = cur_len - decoder_prompt_len` to
+  BeamHypotheses.add (transformers 4.52.1, the reference's pin; the fake
+  prefix ids do NOT count). r5 behavioral correction: earlier rounds
+  normalized by the full fake-sequence length (pre-4.26 HF semantics).
+- per-row termination (BeamHypotheses.is_done, early_stopping=False): all
+  hyp slots filled AND worst hyp >= the best CANDIDATE score of this step
+  normalized at the CURRENT generated length (process passes
+  `next_scores.max()` and `cur_len`); a finished row's state freezes while
+  other rows keep decoding
 - finalize: live beams of *unfinished* rows are force-closed as hypotheses
   (HF finalize skips rows the scorer already marked done); best hyp wins.
 
@@ -80,6 +87,61 @@ def _anc_flat(anc: jnp.ndarray, S: int, bs: int = _ANC_BS) -> jnp.ndarray:
     return a.reshape(S // bs, BK * bs, 1).astype(jnp.bfloat16)
 
 
+def _length_norm(lp: float):
+    """Hypothesis-score normalizer: score / generated_len**lp, where `step`
+    is the 0-indexed step at which the hypothesis closes (its EOS counts,
+    so generated_len = step + 1 — BeamSearchScorer.process computes
+    `cur_len - decoder_prompt_len` with cur_len one past the current ids)."""
+    def norm(score, step):
+        if lp == 0:
+            return score
+        return score / jnp.maximum(
+            (step + 1).astype(jnp.float32) ** lp, 1e-9)
+    return norm
+
+
+def _scorer_process(cand_beams, cand_toks, cand_scores, step, hyp_scores,
+                    hyp_tokens, hyp_lens, tokens, *, K, stop, norm):
+    """One row's BeamSearchScorer.process: scan 2K candidates in score
+    order, close EOS candidates of rank < K as hypotheses, fill the K live
+    beam slots with the first K non-EOS candidates."""
+    is_eos = cand_toks == stop
+    rank = jnp.arange(2 * K)
+    eos_ok = is_eos & (rank < K)
+
+    def add_hyp(i, state):
+        hs, ht, hl = state
+        score = norm(cand_scores[i], step)
+        worst = jnp.argmin(hs)
+        seq_i = tokens[cand_beams[i]]
+        take = eos_ok[i] & (score > hs[worst])
+        hs = jnp.where(take, hs.at[worst].set(score), hs)
+        ht = jnp.where(take, ht.at[worst].set(seq_i), ht)
+        hl = jnp.where(take, hl.at[worst].set(step), hl)
+        return hs, ht, hl
+
+    hyp_scores, hyp_tokens, hyp_lens = jax.lax.fori_loop(
+        0, 2 * K, add_hyp, (hyp_scores, hyp_tokens, hyp_lens))
+
+    # live slots: first K non-eos candidates in order
+    live_rank = jnp.cumsum((~is_eos).astype(jnp.int32)) - 1
+    slot_of_cand = jnp.where(~is_eos, live_rank, 2 * K)
+    cand_of_slot = jnp.argmax(slot_of_cand[None, :] == jnp.arange(K)[:, None],
+                              axis=1)
+    new_beams = cand_beams[cand_of_slot]
+    new_toks = cand_toks[cand_of_slot]
+    new_scores = cand_scores[cand_of_slot]
+    # if fewer than K non-eos candidates (degenerate), pad with worst
+    have = jnp.sum((~is_eos).astype(jnp.int32))
+    fallback = cand_of_slot[0]
+    valid_slot = jnp.arange(K) < have
+    new_beams = jnp.where(valid_slot, new_beams, cand_beams[fallback])
+    new_toks = jnp.where(valid_slot, new_toks, stop)
+    new_scores = jnp.where(valid_slot, new_scores, NEG)
+    return (new_beams, new_toks, new_scores, hyp_scores, hyp_tokens,
+            hyp_lens)
+
+
 def _row_keys(rng, B: int):
     """One PRNG key per batch row. A single key is split B ways; a batch of
     keys (typed (B,) or raw uint32 (B, 2)) is used per row as-is."""
@@ -134,15 +196,7 @@ def generate_beam(params: Params, cfg: GPTConfig, dims: GPT2Dims,
     lp = sampling.length_penalty
     L = max_new_tokens
 
-    # HF normalizes hypothesis scores by the *unpadded* sequence length (the
-    # fake input_ids are P_true+1 long: all 1s + start_mel)
-    p_true = jnp.sum(prefix_mask, axis=1).astype(jnp.float32)  # (B,)
-
-    def norm(score, step, ptrue):
-        if lp == 0:
-            return score
-        return score / jnp.maximum(
-            (ptrue + 1.0 + (step + 1).astype(jnp.float32)) ** lp, 1e-9)
+    norm = _length_norm(lp)
 
     # replicate prefix across beams -> GPT batch axis is B*K
     pe = jnp.repeat(prefix_embeds.astype(dtype), K, axis=0)      # (B*K, P, D)
@@ -207,49 +261,11 @@ def generate_beam(params: Params, cfg: GPTConfig, dims: GPT2Dims,
             combined = apply_top_p(combined, sampling.top_p)
         return combined
 
-    def process(cand_beams, cand_toks, cand_scores, step, ptrue, hyp_scores,
-                hyp_tokens, hyp_lens, tokens):
-        """BeamSearchScorer.process: fill K live slots, close EOS hyps."""
-        is_eos = cand_toks == stop
-        # hyp insertion: EOS candidates with rank < K
-        rank = jnp.arange(2 * K)
-        eos_ok = is_eos & (rank < K)
-
-        def add_hyp(i, state):
-            hs, ht, hl = state
-            score = norm(cand_scores[i], step, ptrue)
-            worst = jnp.argmin(hs)
-            seq_i = tokens[cand_beams[i]]
-            take = eos_ok[i] & (score > hs[worst])
-            hs = jnp.where(take, hs.at[worst].set(score), hs)
-            ht = jnp.where(take, ht.at[worst].set(seq_i), ht)
-            hl = jnp.where(take, hl.at[worst].set(step), hl)
-            return hs, ht, hl
-
-        hyp_scores, hyp_tokens, hyp_lens = jax.lax.fori_loop(
-            0, 2 * K, add_hyp, (hyp_scores, hyp_tokens, hyp_lens))
-
-        # live slots: first K non-eos candidates in order
-        live_rank = jnp.cumsum((~is_eos).astype(jnp.int32)) - 1
-        slot_of_cand = jnp.where(~is_eos, live_rank, 2 * K)
-        cand_of_slot = jnp.argmax(slot_of_cand[None, :] == jnp.arange(K)[:, None],
-                                  axis=1)
-        new_beams = cand_beams[cand_of_slot]
-        new_toks = cand_toks[cand_of_slot]
-        new_scores = cand_scores[cand_of_slot]
-        # if fewer than K non-eos candidates (degenerate), pad with worst
-        have = jnp.sum((~is_eos).astype(jnp.int32))
-        fallback = cand_of_slot[0]
-        valid_slot = jnp.arange(K) < have
-        new_beams = jnp.where(valid_slot, new_beams, cand_beams[fallback])
-        new_toks = jnp.where(valid_slot, new_toks, stop)
-        new_scores = jnp.where(valid_slot, new_scores, NEG)
-        return (new_beams, new_toks, new_scores, hyp_scores, hyp_tokens,
-                hyp_lens)
+    process = functools.partial(_scorer_process, K=K, stop=stop, norm=norm)
 
     v_select = jax.vmap(select_candidates)
     v_scores = jax.vmap(step_scores)
-    v_process = jax.vmap(process, in_axes=(0, 0, 0, None, 0, 0, 0, 0, 0))
+    v_process = jax.vmap(process, in_axes=(0, 0, 0, None, 0, 0, 0, 0))
     v_split = jax.vmap(jax.random.split, in_axes=(0, None))
 
     def min_len_mask3(logits, step):
@@ -258,17 +274,14 @@ def generate_beam(params: Params, cfg: GPTConfig, dims: GPT2Dims,
         return jnp.where(step < sampling.min_new_tokens,
                          logits.at[:, :, stop].set(-jnp.inf), logits)
 
-    def row_is_done(beam_scores, hyp_scores, step):
-        """HF BeamSearchScorer.is_done (early_stopping=False)."""
+    def row_is_done(cand_max, hyp_scores, step):
+        """HF BeamHypotheses.is_done (early_stopping=False, transformers
+        4.52): worst hyp >= the step's best CANDIDATE score (process passes
+        `next_scores.max()`, the top of the 2K list — which may be an EOS
+        candidate) normalized at the CURRENT generated length."""
         n_full = jnp.all(jnp.isfinite(hyp_scores), axis=1)
-        if lp == 0:
-            best_live = jnp.max(beam_scores, axis=1)
-        else:
-            # HF compares against best-possible: live score at max length
-            best_live = norm(jnp.max(beam_scores, axis=1),
-                             jnp.int32(max_new_tokens - 1), p_true)
         worst_hyp = jnp.min(hyp_scores, axis=1)
-        return n_full & (worst_hyp >= best_live)
+        return n_full & (worst_hyp >= norm(cand_max, step))
 
     def advance(step, combined, rkeys, beam_scores, hyp_scores, hyp_tokens,
                 hyp_lens, tokens, counts, kv, kv_valid, anc, row_done):
@@ -276,9 +289,8 @@ def generate_beam(params: Params, cfg: GPTConfig, dims: GPT2Dims,
         rk = v_split(rkeys, 2)                      # (B, 2) keys
         rkeys, rs = rk[:, 0], rk[:, 1]
         cb, ct, cs = v_select(combined, rs)
-        (nb, nt, ns, hs, ht, hl) = v_process(cb, ct, cs, step, p_true,
-                                             hyp_scores, hyp_tokens, hyp_lens,
-                                             tokens)
+        (nb, nt, ns, hs, ht, hl) = v_process(cb, ct, cs, step, hyp_scores,
+                                             hyp_tokens, hyp_lens, tokens)
         # freeze finished rows: identity reorder, stop token, old scores/hyps
         ident = jnp.broadcast_to(jnp.arange(K)[None, :], (B, K))
         nb = jnp.where(row_done[:, None], ident, nb)
@@ -308,7 +320,7 @@ def generate_beam(params: Params, cfg: GPTConfig, dims: GPT2Dims,
             else:
                 kv = {name: buf[:, gidx] for name, buf in kv.items()}
                 kv_valid = kv_valid[gidx]
-        row_done = row_done | row_is_done(ns, hs, step)
+        row_done = row_done | row_is_done(cs[:, 0], hs, step)
         return (rkeys, nb, nt, ns, hs, ht, hl, tokens, counts, kv, kv_valid,
                 anc, row_done)
 
@@ -357,9 +369,9 @@ def generate_beam(params: Params, cfg: GPTConfig, dims: GPT2Dims,
      _, _, row_done) = jax.lax.while_loop(cond, body, state)
 
     # finalize: close remaining live beams of rows the scorer has NOT marked
-    # done (HF finalize skips done rows)
-    final_scores = norm(beam_scores, step - 1, p_true[:, None]) if lp != 0 \
-        else beam_scores
+    # done (HF finalize skips done rows; generated_len there is the number
+    # of completed steps = `step`, i.e. norm at step-1)
+    final_scores = norm(beam_scores, step - 1) if lp != 0 else beam_scores
 
     def close_row(fs, tk, hs, ht, hl, done):
         def close_beam(k, st):
@@ -380,6 +392,244 @@ def generate_beam(params: Params, cfg: GPTConfig, dims: GPT2Dims,
                                      axis=1)[:, 0]
     out_len = jnp.take_along_axis(hyp_lens, best[:, None], axis=1)[:, 0]
     # stop-pad past the hypothesis length
+    arange = jnp.arange(max_new_tokens)[None, :]
+    out_tokens = jnp.where(arange < out_len[:, None], out_tokens, stop)
+    return out_tokens, out_len
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "dims", "max_new_tokens", "sampling", "dtype"))
+def generate_group_beam(params: Params, cfg: GPTConfig, dims: GPT2Dims,
+                        prefix_embeds: jnp.ndarray, prefix_mask: jnp.ndarray,
+                        rng: jax.Array, max_new_tokens: int,
+                        sampling: SamplingConfig = SamplingConfig(),
+                        dtype=jnp.bfloat16) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Diverse (group) beam search — HF `_group_beam_search` semantics
+    (reference `gpt/transformers_generation_utils.py:3611-3900`), reachable
+    in the reference via `inference_speech(**hf_generate_kwargs)`
+    (`gpt/model_v2.py:698`).
+
+    K = sampling.num_beams beams split into G = sampling.num_beam_groups
+    groups of Kg = K // G. One GPT decode step runs all B*K beams; the
+    scorer then processes groups SEQUENTIALLY within the step: group g's
+    log-softmax scores are penalized by diversity_penalty * (per-token count
+    among the tokens groups 0..g-1 chose this step — HF
+    HammingDiversityLogitsProcessor, which sits BEFORE the repetition
+    penalty in the processor list), then the group runs a standard Kg-beam
+    scorer step. A done group keeps contributing its pad token (= stop) to
+    later groups' penalty counts, matching HF. Deterministic only (HF
+    raises on do_sample=True with groups; the dispatch validates).
+
+    Returns (codes (B, max_new_tokens), lengths (B,)) — the best hypothesis
+    pooled across ALL groups per row (HF finalize collects every group's
+    hyps and takes the max). rng is accepted for signature parity and
+    unused.
+
+    The cache-reorder machinery is shared with `generate_beam`: reorders
+    never cross a group, so the in-kernel ancestry map runs with
+    group=Kg (in-subgroup indices), and the gather path gathers within
+    Kg-blocks of the flattened (b, g, kg) row-major batch.
+    """
+    K = sampling.num_beams
+    G = sampling.num_beam_groups
+    Kg = K // G
+    B, P, D = prefix_embeds.shape
+    V = cfg.number_mel_codes
+    BG = B * G
+    fused = _fused_decode_ok(params, dims, B * K, sampling.kv_quant,
+                             beam=True)
+    S = _cache_len(P, max_new_tokens, fused)
+    anc_cap = (2 * 1024 * 1024 if B * K <= 12 else 6 * 1024 * 1024)
+    use_anc = (fused and Kg > 1 and B * K <= 24
+               and S * B * K * 256 <= anc_cap
+               and os.environ.get("INDEXTTS_BEAM_ANC", "1") != "0")
+    global last_use_anc
+    last_use_anc = bool(use_anc)
+    anc_bs = _anc_bs(B * K)
+    stop = cfg.stop_mel_token
+    lp = sampling.length_penalty
+    L = max_new_tokens
+    div = jnp.float32(sampling.diversity_penalty)
+    norm = _length_norm(lp)
+
+    pe = jnp.repeat(prefix_embeds.astype(dtype), K, axis=0)      # (B*K, P, D)
+    pm = jnp.repeat(prefix_mask, K, axis=0)
+    start_tok = jnp.full((B * K,), cfg.start_mel_token, jnp.int32)
+    seq = jnp.concatenate(
+        [pe, _embed_mel_token(params, start_tok, 0, dtype)[:, None, :]],
+        axis=1)
+    seq_mask = jnp.concatenate([pm, jnp.ones((B * K, 1), bool)], axis=1)
+    kv = init_kv_cache(dims, B * K, S, dtype=dtype,
+                       quantized=sampling.kv_quant, flat=fused)
+    hidden, kv = gpt2_prefill(params["gpt"], seq, dims, seq_mask, kv)
+    logits0 = mel_logits_from_hidden(params, hidden[:, -1, :])
+
+    kv_valid = jnp.zeros((B * K, S), bool)
+    kv_valid = jax.lax.dynamic_update_slice(kv_valid, seq_mask, (0, 0))
+
+    counts0 = jnp.zeros((BG, Kg, V), jnp.int32)
+    counts0 = counts0.at[:, :, 1].add(P)
+    counts0 = counts0.at[:, :, cfg.start_mel_token].add(1)
+
+    # HF inits beam_scores[:, ::num_sub_beams] = 0: slot 0 of EVERY group
+    if Kg > 1:
+        beam_scores0 = jnp.broadcast_to(
+            jnp.concatenate([jnp.zeros((1,)), jnp.full((Kg - 1,), NEG)]),
+            (BG, Kg))
+    else:
+        beam_scores0 = jnp.zeros((BG, 1))
+
+    tokens0 = jnp.full((BG, Kg, L), stop, jnp.int32)
+    hyp_scores0 = jnp.full((BG, Kg), -jnp.inf, jnp.float32)
+    hyp_tokens0 = jnp.full((BG, Kg, L), stop, jnp.int32)
+    hyp_lens0 = jnp.zeros((BG, Kg), jnp.int32)
+    grp_done0 = jnp.zeros((BG,), bool)
+    own_idx = jnp.arange(B * K, dtype=jnp.int32) % Kg
+    anc0 = jnp.broadcast_to(own_idx[:, None], (B * K, S))
+
+    process = functools.partial(_scorer_process, K=Kg, stop=stop, norm=norm)
+    v_process = jax.vmap(process, in_axes=(0, 0, 0, None, 0, 0, 0, 0))
+
+    def grp_is_done(cand_max, hyp_scores, step):
+        n_full = jnp.all(jnp.isfinite(hyp_scores), axis=1)
+        worst = jnp.min(hyp_scores, axis=1)
+        return n_full & (worst >= norm(cand_max, step))
+
+    def min_len_mask(logits, step):                        # (BG, Kg, V)
+        if sampling.min_new_tokens <= 0:
+            return logits
+        return jnp.where(step < sampling.min_new_tokens,
+                         logits.at[:, :, stop].set(-jnp.inf), logits)
+
+    def advance(step, logits, beam_scores, hyp_scores, hyp_tokens, hyp_lens,
+                tokens, counts, kv, kv_valid, anc, grp_done):
+        """One full scorer step: groups sequentially (diversity coupling),
+        then one global cache/ancestry reorder."""
+        logits = min_len_mask(logits.reshape(BG, Kg, V), step)
+        lf4 = jax.nn.log_softmax(
+            logits.astype(jnp.float32), axis=-1).reshape(B, G, Kg, V)
+        bs4 = beam_scores.reshape(B, G, Kg)
+        cn4 = counts.reshape(B, G, Kg, V)
+        hs4 = hyp_scores.reshape(B, G, Kg)
+        ht4 = hyp_tokens.reshape(B, G, Kg, L)
+        hl4 = hyp_lens.reshape(B, G, Kg)
+        tk4 = tokens.reshape(B, G, Kg, L)
+        gd = grp_done.reshape(B, G)
+        freq = jnp.zeros((B, V), jnp.float32)
+        outs = []                       # per group: (nb, nt, ns, hs, ht, hl, done)
+        for g in range(G):              # static unroll; G is small
+            s = lf4[:, g]                                    # (B, Kg, V)
+            if g > 0:
+                s = s - div * freq[:, None, :]
+            s = apply_repetition_penalty(s, cn4[:, g],
+                                         sampling.repetition_penalty)
+            flat = (s + bs4[:, g][:, :, None]).reshape(B, Kg * V)
+            cand_scores, idx = jax.lax.top_k(flat, 2 * Kg)
+            cb, ct = idx // V, idx % V
+            nb, nt, ns, hs, ht, hl = v_process(
+                cb, ct, cand_scores, step, hs4[:, g], ht4[:, g], hl4[:, g],
+                tk4[:, g])
+            done_g = gd[:, g]
+            ident = jnp.broadcast_to(jnp.arange(Kg)[None, :], (B, Kg))
+            nb = jnp.where(done_g[:, None], ident, nb)
+            nt = jnp.where(done_g[:, None], stop, nt)  # HF pads done groups
+            ns = jnp.where(done_g[:, None], bs4[:, g], ns)
+            hs = jnp.where(done_g[:, None], hs4[:, g], hs)
+            ht = jnp.where(done_g[:, None, None], ht4[:, g], ht)
+            hl = jnp.where(done_g[:, None], hl4[:, g], hl)
+            done_g = done_g | grp_is_done(cand_scores[:, 0], hs, step)
+            # this group's chosen tokens (pad for done groups, as in HF)
+            # feed later groups' diversity counts
+            freq = freq + jnp.sum(
+                jax.nn.one_hot(nt, V, dtype=jnp.float32), axis=1)
+            outs.append((nb, nt, ns, hs, ht, hl, done_g))
+        nb = jnp.stack([o[0] for o in outs], 1).reshape(BG, Kg)
+        nt = jnp.stack([o[1] for o in outs], 1).reshape(BG, Kg)
+        ns = jnp.stack([o[2] for o in outs], 1).reshape(BG, Kg)
+        hyp_scores = jnp.stack([o[3] for o in outs], 1).reshape(BG, Kg)
+        hyp_tokens = jnp.stack([o[4] for o in outs], 1).reshape(BG, Kg, L)
+        hyp_lens = jnp.stack([o[5] for o in outs], 1).reshape(BG, Kg)
+        grp_done = jnp.stack([o[6] for o in outs], 1).reshape(BG)
+
+        def reorder(t, c, nb_r, nt_r, s):
+            t = t[nb_r].at[:, s].set(nt_r)
+            c = c[nb_r].at[jnp.arange(Kg), nt_r].add(1)
+            return t, c
+
+        tokens, counts = jax.vmap(reorder, in_axes=(0, 0, 0, 0, None))(
+            tokens, counts, nb, nt, step)
+        if Kg > 1:  # Kg == 1: nb is always identity
+            gidx = (jnp.arange(BG)[:, None] * Kg + nb).reshape(-1)
+            if use_anc:
+                anc = anc[gidx]
+            else:
+                kv = {name: buf[:, gidx] for name, buf in kv.items()}
+                kv_valid = kv_valid[gidx]
+        return (nt, ns, hyp_scores, hyp_tokens, hyp_lens, tokens, counts,
+                kv, kv_valid, anc, grp_done)
+
+    # --- first step (expands beam 0 of every group) --------------------------
+    (nt0, beam_scores, hyp_scores, hyp_tokens, hyp_lens, tokens, counts, kv,
+     kv_valid, anc, grp_done) = advance(
+        jnp.int32(0), logits0, beam_scores0, hyp_scores0, hyp_tokens0,
+        hyp_lens0, tokens0, counts0, kv, kv_valid, anc0, grp_done0)
+
+    def cond(state):
+        step = state[0]
+        grp_done = state[-1]
+        return jnp.logical_and(step < max_new_tokens, ~jnp.all(grp_done))
+
+    def body(state):
+        (step, beam_scores, hyp_scores, hyp_tokens, hyp_lens, tokens, counts,
+         kv, kv_valid, anc, prev_tok, grp_done) = state
+        x = _embed_mel_token(params, prev_tok.reshape(B * K), step + 1, dtype)
+        pos = P + 1 + step
+        kv_valid = kv_valid.at[:, pos].set(True)
+        if use_anc:
+            anc = anc.at[:, pos].set(own_idx)
+            h, kv = _decode_step(fused, params, x, dims, pos, kv, kv_valid,
+                                 anc=_anc_flat(anc, S, anc_bs), group=Kg)
+        else:
+            h, kv = _decode_step(fused, params, x, dims, pos, kv, kv_valid)
+        logits = mel_logits_from_hidden(params, h)
+        (new_toks, beam_scores, hyp_scores, hyp_tokens, hyp_lens, tokens,
+         counts, kv, kv_valid, anc, grp_done) = advance(
+            step, logits, beam_scores, hyp_scores, hyp_tokens, hyp_lens,
+            tokens, counts, kv, kv_valid, anc, grp_done)
+        return (step + 1, beam_scores, hyp_scores, hyp_tokens, hyp_lens,
+                tokens, counts, kv, kv_valid, anc, new_toks, grp_done)
+
+    state = (jnp.int32(1), beam_scores, hyp_scores, hyp_tokens, hyp_lens,
+             tokens, counts, kv, kv_valid, anc, nt0, grp_done)
+    (step, beam_scores, hyp_scores, hyp_tokens, hyp_lens, tokens, _, _, _, _,
+     _, grp_done) = jax.lax.while_loop(cond, body, state)
+
+    # finalize per (b, g): close live beams of groups NOT marked done, then
+    # pool every group's hyps per row and take the best (HF finalize)
+    final_scores = norm(beam_scores, step - 1) if lp != 0 else beam_scores
+
+    def close_grp(fs, tk, hs, ht, hl, done):
+        def close_beam(k, st):
+            hs, ht, hl = st
+            worst = jnp.argmin(hs)
+            take = (~done) & (fs[k] > hs[worst])
+            hs = jnp.where(take, hs.at[worst].set(fs[k]), hs)
+            ht = jnp.where(take, ht.at[worst].set(tk[k]), ht)
+            hl = jnp.where(take, hl.at[worst].set(step), hl)
+            return hs, ht, hl
+
+        return jax.lax.fori_loop(0, Kg, close_beam, (hs, ht, hl))
+
+    hyp_scores, hyp_tokens, hyp_lens = jax.vmap(close_grp)(
+        final_scores, tokens, hyp_scores, hyp_tokens, hyp_lens, grp_done)
+    hyp_scores = hyp_scores.reshape(B, K)
+    hyp_tokens = hyp_tokens.reshape(B, K, L)
+    hyp_lens = hyp_lens.reshape(B, K)
+    best = jnp.argmax(hyp_scores, axis=1)                        # (B,)
+    out_tokens = jnp.take_along_axis(hyp_tokens, best[:, None, None],
+                                     axis=1)[:, 0]
+    out_len = jnp.take_along_axis(hyp_lens, best[:, None], axis=1)[:, 0]
     arange = jnp.arange(max_new_tokens)[None, :]
     out_tokens = jnp.where(arange < out_len[:, None], out_tokens, stop)
     return out_tokens, out_len

@@ -141,6 +141,18 @@ class SamplingConfig:
     num_beams: int = 1
     length_penalty: float = 0.0
     min_new_tokens: int = 0
+    # diverse (group) beam search — HF `_group_beam_search` via the
+    # reference's `inference_speech(**hf_generate_kwargs)` passthrough
+    # (model_v2.py:698). num_beams must divide evenly; deterministic only.
+    num_beam_groups: int = 1
+    diversity_penalty: float = 0.0
+    # contrastive search (HF `_contrastive_search`): re-rank the top_k
+    # candidates by (1-alpha)*p - alpha*max-cosine-vs-context. > 0 enables.
+    penalty_alpha: float = 0.0
+    # DoLa (HF `_dola_decoding`): contrast final-layer logits against the
+    # max-JSD premature layer. "low" / "high" / tuple of hidden-state
+    # indices (0 = embeddings); None disables.
+    dola_layers: object = None
     # int8 KV cache (decode-side only; prefill attention stays exact).
     # On the FUSED kernel path this is a flat int8 cache with packed
     # per-(position, head) bf16 scale rows whose dequant folds into the

@@ -232,10 +232,15 @@ def gpt2_forward(params: Params, x: jnp.ndarray, dims: GPT2Dims,
 
 
 def gpt2_prefill(params: Params, x: jnp.ndarray, dims: GPT2Dims,
-                 attn_mask: jnp.ndarray, kv_cache: Dict) -> Tuple[jnp.ndarray, Dict]:
+                 attn_mask: jnp.ndarray, kv_cache: Dict,
+                 collect_hiddens: bool = False):
     """Prefill: full causal pass that also writes K/V into the cache at [0, T).
 
-    Returns (hidden after ln_f (B, T, D), updated cache).
+    Returns (hidden after ln_f (B, T, D), updated cache). With
+    collect_hiddens=True additionally returns (L, B, D): each layer's block
+    INPUT at the last position — HF `hidden_states[i]` for i < L (index 0 =
+    the embeddings), which DoLa's premature-layer exits consume
+    (reference `gpt/transformers_generation_utils.py:2640-2645`).
     """
     B, T, D = x.shape
     causal = jnp.tril(jnp.ones((T, T), dtype=bool))[None, None]
@@ -246,6 +251,7 @@ def gpt2_prefill(params: Params, x: jnp.ndarray, dims: GPT2Dims,
 
     def body(carry, inputs):
         xc = carry
+        xin_last = xc[:, -1, :]        # block input at the last position
         lp, cache = inputs
         h = nn.layer_norm(lp["ln_1"], xc)
         qkv = nn.dense(lp["attn"]["c_attn"], h)
@@ -275,7 +281,7 @@ def gpt2_prefill(params: Params, x: jnp.ndarray, dims: GPT2Dims,
             h = nn.layer_norm(lp["ln_2"], xc)
             h = nn.gelu_new(nn.dense(lp["mlp"]["c_fc"], h))
             xc = xc + nn.dense(lp["mlp"]["c_proj"], h)
-            return xc, cache
+            return xc, ((cache, xin_last) if collect_hiddens else cache)
         q = q.reshape(B, T, dims.heads, dims.head_dim)
         k = k.reshape(B, T, dims.heads, dims.head_dim)
         v = v.reshape(B, T, dims.heads, dims.head_dim)
@@ -304,9 +310,13 @@ def gpt2_prefill(params: Params, x: jnp.ndarray, dims: GPT2Dims,
         h = nn.layer_norm(lp["ln_2"], xc)
         h = nn.gelu_new(nn.dense(lp["mlp"]["c_fc"], h))
         xc = xc + nn.dense(lp["mlp"]["c_proj"], h)
-        return xc, cache
+        return xc, ((cache, xin_last) if collect_hiddens else cache)
 
     layer_caches = {key: kv_cache[key] for key in kv_cache}
+    if collect_hiddens:
+        x, (new_cache, hs_last) = jax.lax.scan(
+            body, x, (params["h"], layer_caches))
+        return nn.layer_norm(params["ln_f"], x), new_cache, hs_last
     x, new_cache = jax.lax.scan(body, x, (params["h"], layer_caches))
     return nn.layer_norm(params["ln_f"], x), new_cache
 
@@ -439,7 +449,7 @@ def gpt2_chunk_step(params: Params, x: jnp.ndarray, dims: GPT2Dims,
 
 def gpt2_decode_step(params: Params, x: jnp.ndarray, dims: GPT2Dims,
                      pos: jnp.ndarray, kv_cache: Dict,
-                     kv_valid: jnp.ndarray) -> Tuple[jnp.ndarray, Dict]:
+                     kv_valid: jnp.ndarray, collect_hiddens: bool = False):
     """One decode step. x: (B, D) embedding of the current token.
 
     pos: scalar int32 — write index into the cache (same for the whole batch;
@@ -447,7 +457,9 @@ def gpt2_decode_step(params: Params, x: jnp.ndarray, dims: GPT2Dims,
     reference's `prepare_gpt_inputs` layout, `gpt/model_v2.py:633-696`).
     kv_valid: (B, S) bool — which cache slots are attendable (handles the
     left-pad region and not-yet-written slots).
-    Returns (hidden (B, D) after ln_f, updated cache).
+    Returns (hidden (B, D) after ln_f, updated cache). With
+    collect_hiddens=True additionally returns (L, B, D): each layer's block
+    input — HF `hidden_states[i]` for i < L — for DoLa premature exits.
     """
     B, D = x.shape
 
@@ -464,6 +476,7 @@ def gpt2_decode_step(params: Params, x: jnp.ndarray, dims: GPT2Dims,
 
     def body(carry, inputs):
         xc, cache = carry                                 # xc: (B, D)
+        xin = xc                       # block input (HF hidden_states[li])
         lp, li = inputs
         h = nn.layer_norm(lp["ln_1"], xc)
         qkv = nn.dense(lp["attn"]["c_attn"], h)
@@ -513,13 +526,15 @@ def gpt2_decode_step(params: Params, x: jnp.ndarray, dims: GPT2Dims,
         h = nn.layer_norm(lp["ln_2"], xc)
         h = nn.gelu_new(nn.dense(lp["mlp"]["c_fc"], h))
         xc = xc + nn.dense(lp["mlp"]["c_proj"], h)
-        return (xc, cache), None
+        return (xc, cache), (xin if collect_hiddens else None)
 
     import os
 
     unroll = int(os.environ.get("INDEXTTS_DECODE_UNROLL", "1"))
-    (x, new_cache), _ = jax.lax.scan(
+    (x, new_cache), hs = jax.lax.scan(
         body, (x, {key: kv_cache[key] for key in kv_cache}),
         (params["h"], jnp.arange(dims.layers)), unroll=unroll)
     x = nn.layer_norm(params["ln_f"], x)
+    if collect_hiddens:
+        return x, new_cache, hs
     return x, new_cache

@@ -41,7 +41,7 @@ import numpy as np
 
 from indextts_tpu import nn
 from indextts_tpu.config import IndexTTS2Config, load_config
-from indextts_tpu.engine.beam import generate_beam
+from indextts_tpu.engine.beam import generate_beam, generate_group_beam
 from indextts_tpu.engine.decode import (SamplingConfig, generate,
                                          generate_adaptive)
 from indextts_tpu.models.codec.repcodec import (init_repcodec, repcodec_quantize,
@@ -78,6 +78,25 @@ def _spec_decode_gamma() -> int:
         return max(0, int(raw))
     except ValueError:
         return 8
+
+
+def _aux_decode_fn(sampling):
+    """HF GenerationMode selection for the auxiliary decode modes:
+    contrastive search when penalty_alpha > 0 and top_k > 1 and greedy
+    (matching HF's mode rule — with do_sample=True the kwargs fall through
+    to plain sampling, as in HF), DoLa when dola_layers is set. Both are
+    num_beams == 1 modes (engine/modes.py; parity-tested vs the executing
+    reference in tests/test_generation_modes.py)."""
+    if sampling.num_beams > 1:
+        return None
+    if sampling.dola_layers is not None:
+        from indextts_tpu.engine.modes import generate_dola
+        return generate_dola
+    if (sampling.penalty_alpha > 0 and sampling.top_k > 1
+            and not sampling.do_sample):
+        from indextts_tpu.engine.modes import generate_contrastive
+        return generate_contrastive
+    return None
 
 
 def find_most_similar_cosine(query: jnp.ndarray, matrix: jnp.ndarray) -> int:
@@ -802,6 +821,25 @@ class IndexTTS2:
         typical_sampling = generation_kwargs.pop("typical_sampling", False)
         typical_mass = generation_kwargs.pop("typical_mass", 0.9)
         min_new_tokens = generation_kwargs.pop("min_new_tokens", 0)
+        # auxiliary HF generation modes (the reference forwards arbitrary
+        # generation kwargs into its vendored GenerationMixin via
+        # inference_speech(**hf_generate_kwargs), model_v2.py:698)
+        num_beam_groups = int(generation_kwargs.pop("num_beam_groups", 1))
+        diversity_penalty = float(
+            generation_kwargs.pop("diversity_penalty", 0.0))
+        penalty_alpha = float(generation_kwargs.pop("penalty_alpha", 0.0))
+        dola_layers = generation_kwargs.pop("dola_layers", None)
+        if isinstance(dola_layers, list):
+            dola_layers = tuple(dola_layers)
+        if num_beam_groups > 1:
+            if int(num_beams) % num_beam_groups:
+                raise ValueError(
+                    "num_beams must be divisible by num_beam_groups")
+            if do_sample:
+                raise ValueError(
+                    "diverse beam search requires do_sample=False")
+        if dola_layers is not None and int(num_beams) > 1:
+            raise ValueError("dola_layers requires num_beams=1")
         sampling = SamplingConfig(
             do_sample=bool(do_sample), temperature=float(temperature),
             top_k=int(top_k), top_p=float(top_p),
@@ -810,7 +848,13 @@ class IndexTTS2:
             typical_sampling=bool(typical_sampling),
             typical_mass=float(typical_mass),
             min_new_tokens=int(min_new_tokens),
+            num_beam_groups=num_beam_groups,
+            diversity_penalty=diversity_penalty,
+            penalty_alpha=penalty_alpha, dola_layers=dola_layers,
             kv_quant=self.quantization in ("int8kv", "int4kv"))
+        beam_fn = (generate_group_beam if sampling.num_beam_groups > 1
+                   else generate_beam)
+        aux_fn = _aux_decode_fn(sampling)
 
         wavs = []
         gpt_gen_time = gpt_forward_time = s2mel_time = bigvgan_time = 0.0
@@ -877,7 +921,7 @@ class IndexTTS2:
                          or max(1, 24 // K))
                 if B_rows > chunk and self.mesh is None:
                     keys = jax.random.split(self._next_rng(), B_rows)
-                    parts = [generate_beam(
+                    parts = [beam_fn(
                         self.gpt_params, self.cfg.gpt, self.gpt_dims,
                         pe[i:i + chunk], pm[i:i + chunk], keys[i:i + chunk],
                         max_new_tokens=max_mel_tokens, sampling=sampling,
@@ -885,7 +929,7 @@ class IndexTTS2:
                     batch_codes = jnp.concatenate([p[0] for p in parts], 0)
                     batch_code_lens = jnp.concatenate([p[1] for p in parts], 0)
                 else:
-                    batch_codes, batch_code_lens = generate_beam(
+                    batch_codes, batch_code_lens = beam_fn(
                         self.gpt_params, self.cfg.gpt, self.gpt_dims, pe, pm,
                         self._next_rng(), max_new_tokens=max_mel_tokens,
                         sampling=sampling, dtype=self.dtype)
@@ -898,7 +942,14 @@ class IndexTTS2:
                 B_rows = pe.shape[0]
                 chunk = (int(os.environ.get("INDEXTTS_DECODE_CHUNK", "0"))
                          or 24)
-                if B_rows > chunk and self.mesh is None:
+                if aux_fn is not None:
+                    # contrastive / DoLa: diagnostic modes on the dense XLA
+                    # path, batched over all rows (no kernel chunking)
+                    batch_codes, batch_code_lens = aux_fn(
+                        self.gpt_params, self.cfg.gpt, self.gpt_dims, pe, pm,
+                        self._next_rng(), max_new_tokens=max_mel_tokens,
+                        sampling=sampling, dtype=self.dtype)
+                elif B_rows > chunk and self.mesh is None:
                     # ONE _next_rng() split across chunks: the host rng
                     # stream advances exactly as in the unchunked call, so
                     # the downstream CFM noise (and greedy audio) match
@@ -1048,6 +1099,7 @@ class IndexTTS2:
             # worst case is <1% (engine/speculative.py). Token-identical to
             # generate() on the CPU lane; INDEXTTS_SPEC_DECODE=0 reverts.
             spec_gamma = (0 if (sampling.num_beams > 1
+                                or aux_fn is not None
                                 or self.mesh is not None)
                           else _spec_decode_gamma())
             if spec_gamma > 0:
@@ -1077,8 +1129,8 @@ class IndexTTS2:
                           f"{spec_commit_ratio(spec_gamma):.2f} "
                           f"commits/chunk, docs/KERNELS.md §1)")
             else:
-                decode_fn = (generate_beam if sampling.num_beams > 1
-                             else generate_adaptive)
+                decode_fn = (beam_fn if sampling.num_beams > 1
+                             else (aux_fn or generate_adaptive))
                 codes, code_lens = decode_fn(
                     self.gpt_params, self.cfg.gpt, self.gpt_dims,
                     prefix_embeds, prefix_mask, self._next_rng(),

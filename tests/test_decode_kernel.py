@@ -526,3 +526,54 @@ def test_beam_fused_int8kv_runs(monkeypatch):
     assert toks.shape == (B, 4)
     assert np.all(np.asarray(lens) >= 0)
     assert np.all((np.asarray(toks) >= 0) & (np.asarray(toks) < 50))
+
+
+def test_group_beam_anc_matches_gather(monkeypatch):
+    """generate_group_beam's in-kernel ancestry (group=Kg: reorders never
+    cross a sub-group) is token-identical to the per-step cache-gather
+    path through the fused kernel in interpret mode. K=4 G=2 at B=2 (8
+    flat rows, 64-slot layout) and B=4 (16 rows, 32-slot layout)."""
+    from indextts_tpu.config import ConditionModuleConfig, GPTConfig
+    from indextts_tpu.engine import beam as bm
+    from indextts_tpu.engine.decode import SamplingConfig
+    from indextts_tpu.models.gpt.unified_voice import init_unified_voice
+
+    cfg = GPTConfig(
+        layers=2, model_dim=640, heads=10, max_text_tokens=30,
+        max_mel_tokens=60, number_text_tokens=40, number_mel_codes=50,
+        start_mel_token=48, stop_mel_token=49,
+        condition_module=ConditionModuleConfig(
+            output_size=32, linear_units=48, attention_heads=2, num_blocks=1,
+            input_layer="linear", perceiver_mult=2),
+        emo_condition_module=ConditionModuleConfig(
+            output_size=32, linear_units=48, attention_heads=2, num_blocks=1,
+            input_layer="linear", perceiver_mult=2))
+    dims = GPT2Dims(cfg.layers, cfg.model_dim, cfg.heads)
+    params = init_unified_voice(InitRng(0), cfg)
+    params["gpt"] = quantize_gpt2_int8(params["gpt"])
+    rng = np.random.default_rng(3)
+    key = jax.random.PRNGKey(5)
+    samp = SamplingConfig(do_sample=False, num_beams=4, num_beam_groups=2,
+                          diversity_penalty=1.0, repetition_penalty=1.3,
+                          length_penalty=1.0)
+    monkeypatch.setenv("INDEXTTS_FUSED_DECODE", "interp")
+    for B in (2, 4):
+        P = 7
+        prefix = jnp.asarray(rng.normal(0, 0.3, (B, P, cfg.model_dim)),
+                             jnp.bfloat16)
+        mask = jnp.ones((B, P), bool).at[0, 0].set(False)
+        monkeypatch.setenv("INDEXTTS_BEAM_ANC", "0")
+        bm.generate_group_beam.clear_cache()
+        t_ref, l_ref = bm.generate_group_beam(
+            params, cfg, dims, prefix, mask, key, max_new_tokens=8,
+            sampling=samp)
+        assert bm.last_use_anc is False
+        monkeypatch.setenv("INDEXTTS_BEAM_ANC", "1")
+        bm.generate_group_beam.clear_cache()
+        t_anc, l_anc = bm.generate_group_beam(
+            params, cfg, dims, prefix, mask, key, max_new_tokens=8,
+            sampling=samp)
+        assert bm.last_use_anc is True
+        bm.generate_group_beam.clear_cache()
+        np.testing.assert_array_equal(np.asarray(t_ref), np.asarray(t_anc))
+        np.testing.assert_array_equal(np.asarray(l_ref), np.asarray(l_anc))

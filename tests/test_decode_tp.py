@@ -227,3 +227,61 @@ def test_generate_beam_tp_kernel(monkeypatch):
     np.testing.assert_array_equal(np.asarray(toks_a), np.asarray(toks_g))
     np.testing.assert_array_equal(np.asarray(lens_a), np.asarray(lens_g))
     assert np.all((np.asarray(toks_a) >= 0) & (np.asarray(toks_a) < 50))
+
+
+def test_generate_group_beam_tp_kernel(monkeypatch):
+    """generate_group_beam composes with the tp=2 fused kernel: the
+    ancestry where-chain runs at group=Kg (reorders never cross a
+    sub-group) on batch rows, orthogonal to the head-sliced Dl axis;
+    anc and gather paths are token-identical."""
+    from indextts_tpu.config import ConditionModuleConfig, GPTConfig
+    from indextts_tpu.engine import decode as dec
+    from indextts_tpu.engine import beam as bm
+    from indextts_tpu.engine.decode import SamplingConfig
+    from indextts_tpu.models.gpt.unified_voice import init_unified_voice
+    from indextts_tpu.models.gpt.gpt2 import quantize_gpt2_int8
+    from indextts_tpu.nn import InitRng
+
+    cfg = GPTConfig(
+        layers=2, model_dim=1280, heads=20, max_text_tokens=30,
+        max_mel_tokens=60, number_text_tokens=40, number_mel_codes=50,
+        start_mel_token=48, stop_mel_token=49,
+        condition_module=ConditionModuleConfig(
+            output_size=32, linear_units=48, attention_heads=2, num_blocks=1,
+            input_layer="linear", perceiver_mult=2),
+        emo_condition_module=ConditionModuleConfig(
+            output_size=32, linear_units=48, attention_heads=2, num_blocks=1,
+            input_layer="linear", perceiver_mult=2))
+    dims = GPT2Dims(cfg.layers, cfg.model_dim, cfg.heads)
+    params = init_unified_voice(InitRng(0), cfg)
+    params["gpt"] = gpt_tp_layout(quantize_gpt2_int8(params["gpt"]))
+    rng = np.random.default_rng(3)
+    B, P, K, G = 1, 7, 4, 2
+    prefix = jnp.asarray(rng.normal(0, 0.3, (B, P, cfg.model_dim)),
+                         jnp.bfloat16)
+    mask = jnp.ones((B, P), bool)
+    key = jax.random.PRNGKey(5)
+    sampling = SamplingConfig(do_sample=False, num_beams=K,
+                              num_beam_groups=G, diversity_penalty=1.0,
+                              repetition_penalty=1.3, length_penalty=1.0)
+    mesh = _tp_mesh()
+
+    monkeypatch.setenv("INDEXTTS_FUSED_DECODE", "interp")
+    monkeypatch.setattr(dec, "TP_MESH", mesh)
+    assert dec._fused_decode_ok(params, dims, B * K, kv_quant=False,
+                                beam=True) == "tp"
+    bm.generate_group_beam.clear_cache()
+    monkeypatch.setenv("INDEXTTS_BEAM_ANC", "1")
+    toks_a, lens_a = bm.generate_group_beam(params, cfg, dims, prefix, mask,
+                                            key, max_new_tokens=3,
+                                            sampling=sampling)
+    assert bm.last_use_anc is True
+    bm.generate_group_beam.clear_cache()
+    monkeypatch.setenv("INDEXTTS_BEAM_ANC", "0")
+    toks_g, lens_g = bm.generate_group_beam(params, cfg, dims, prefix, mask,
+                                            key, max_new_tokens=3,
+                                            sampling=sampling)
+    bm.generate_group_beam.clear_cache()
+    np.testing.assert_array_equal(np.asarray(toks_a), np.asarray(toks_g))
+    np.testing.assert_array_equal(np.asarray(lens_a), np.asarray(lens_g))
+    assert np.all((np.asarray(toks_a) >= 0) & (np.asarray(toks_a) < 50))

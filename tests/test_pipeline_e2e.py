@@ -317,3 +317,55 @@ def test_long_segments_batched_path_not_truncated(tts, model_dir,
     nseg = 3
     expect = int(np.float32(clen) * np.float32(1.72)) * 256
     assert wav.shape[0] == nseg * expect, (wav.shape, nseg * expect)
+
+
+def test_e2e_aux_generation_modes(tts, model_dir):
+    """The auxiliary HF generation modes flow through infer()'s
+    generation_kwargs like the reference's inference_speech(**kwargs):
+    diverse beam groups, contrastive search, and DoLa each produce audio."""
+    p = os.path.join(model_dir, "prompt.wav")
+    sr, a = tts.infer(spk_audio_prompt=p, text="hello world .",
+                      output_path=None, max_mel_tokens=16, do_sample=False,
+                      num_beams=4, num_beam_groups=2, diversity_penalty=1.0)
+    assert a.shape[0] > 100
+    sr, b = tts.infer(spk_audio_prompt=p, text="hello world .",
+                      output_path=None, max_mel_tokens=16, do_sample=False,
+                      num_beams=1, top_k=4, penalty_alpha=0.6)
+    assert b.shape[0] > 100
+    sr, c = tts.infer(spk_audio_prompt=p, text="hello world .",
+                      output_path=None, max_mel_tokens=16, do_sample=False,
+                      num_beams=1, dola_layers="low")
+    assert c.shape[0] > 100
+
+
+def test_e2e_aux_generation_modes_batched(tts, model_dir):
+    """Multi-segment text exercises the batched-decode dispatch for the
+    aux modes (group beam via beam_fn, contrastive via the aux branch)."""
+    p = os.path.join(model_dir, "prompt.wav")
+    text = "hello world . the cat sat ."
+    sr, a = tts.infer(spk_audio_prompt=p, text=text, output_path=None,
+                      max_mel_tokens=16, do_sample=False, num_beams=4,
+                      num_beam_groups=2, diversity_penalty=1.0,
+                      max_text_tokens_per_segment=8)
+    assert a.shape[0] > 100
+    sr, b = tts.infer(spk_audio_prompt=p, text=text, output_path=None,
+                      max_mel_tokens=16, do_sample=False, num_beams=1,
+                      top_k=4, penalty_alpha=0.6,
+                      max_text_tokens_per_segment=8)
+    assert b.shape[0] > 100
+
+
+def test_e2e_aux_generation_modes_validation(tts, model_dir):
+    p = os.path.join(model_dir, "prompt.wav")
+    with pytest.raises(ValueError, match="divisible"):
+        tts.infer(spk_audio_prompt=p, text="hi .", output_path=None,
+                  max_mel_tokens=8, do_sample=False, num_beams=3,
+                  num_beam_groups=2, diversity_penalty=1.0)
+    with pytest.raises(ValueError, match="do_sample"):
+        tts.infer(spk_audio_prompt=p, text="hi .", output_path=None,
+                  max_mel_tokens=8, do_sample=True, num_beams=4,
+                  num_beam_groups=2, diversity_penalty=1.0)
+    with pytest.raises(ValueError, match="num_beams=1"):
+        tts.infer(spk_audio_prompt=p, text="hi .", output_path=None,
+                  max_mel_tokens=8, do_sample=False, num_beams=2,
+                  dola_layers="low")
