@@ -142,6 +142,54 @@ def _scorer_process(cand_beams, cand_toks, cand_scores, step, hyp_scores,
             hyp_lens)
 
 
+def _min_new_mask(lf, stop: int, step, min_new_tokens: int):
+    """HF MinNewTokensLengthLogitsProcessor in BEAM modes runs on the
+    post-log_softmax scores (processors after log_softmax,
+    `transformers_generation_utils.py:3476-3480`), so the stop lane is
+    -inf'd WITHOUT renormalizing the rest (r5 review fix — masking raw
+    logits pre-softmax boosted every beam's non-stop scores by a
+    beam-dependent constant). Shape-agnostic on leading dims."""
+    if min_new_tokens <= 0:
+        return lf
+    return jnp.where(step < min_new_tokens,
+                     lf.at[..., stop].set(-jnp.inf), lf)
+
+
+def _hyps_done(cand_max, hyp_scores, step, *, norm):
+    """HF BeamHypotheses.is_done (early_stopping=False, transformers 4.52):
+    all hyp slots full AND worst hyp >= the step's best CANDIDATE score
+    (process passes `next_scores.max()`, the top of the 2K list — which
+    may be an EOS candidate) normalized at the CURRENT generated length."""
+    n_full = jnp.all(jnp.isfinite(hyp_scores), axis=1)
+    worst_hyp = jnp.min(hyp_scores, axis=1)
+    return n_full & (worst_hyp >= norm(cand_max, step))
+
+
+def _close_live(fs, tk, hs, ht, hl, done, *, K, step):
+    """HF finalize: force-close the K live beams of a not-done row/group."""
+    def close_beam(k, st):
+        hs, ht, hl = st
+        worst = jnp.argmin(hs)
+        take = (~done) & (fs[k] > hs[worst])
+        hs = jnp.where(take, hs.at[worst].set(fs[k]), hs)
+        ht = jnp.where(take, ht.at[worst].set(tk[k]), ht)
+        hl = jnp.where(take, hl.at[worst].set(step), hl)
+        return hs, ht, hl
+
+    return jax.lax.fori_loop(0, K, close_beam, (hs, ht, hl))
+
+
+def _best_hyp(hyp_scores, hyp_tokens, hyp_lens, max_new_tokens: int,
+              stop: int):
+    """Best hypothesis per row, stop-padded past its length."""
+    best = jnp.argmax(hyp_scores, axis=1)
+    out_tokens = jnp.take_along_axis(hyp_tokens, best[:, None, None],
+                                     axis=1)[:, 0]
+    out_len = jnp.take_along_axis(hyp_lens, best[:, None], axis=1)[:, 0]
+    arange = jnp.arange(max_new_tokens)[None, :]
+    return jnp.where(arange < out_len[:, None], out_tokens, stop), out_len
+
+
 def _row_keys(rng, B: int):
     """One PRNG key per batch row. A single key is split B ways; a batch of
     keys (typed (B,) or raw uint32 (B, 2)) is used per row as-is."""
@@ -251,9 +299,10 @@ def generate_beam(params: Params, cfg: GPTConfig, dims: GPT2Dims,
             cand_scores, idx = jax.lax.top_k(flat, 2 * K)
         return idx // V, idx % V, cand_scores
 
-    def step_scores(logits, counts, beam_scores):
+    def step_scores(logits, counts, beam_scores, step):
         lf = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         lf = apply_repetition_penalty(lf, counts, sampling.repetition_penalty)
+        lf = _min_new_mask(lf, stop, step, sampling.min_new_tokens)
         combined = lf + beam_scores[:, None]
         if sampling.do_sample:
             combined = apply_temperature(combined, sampling.temperature)
@@ -264,24 +313,11 @@ def generate_beam(params: Params, cfg: GPTConfig, dims: GPT2Dims,
     process = functools.partial(_scorer_process, K=K, stop=stop, norm=norm)
 
     v_select = jax.vmap(select_candidates)
-    v_scores = jax.vmap(step_scores)
+    v_scores = jax.vmap(step_scores, in_axes=(0, 0, 0, None))
     v_process = jax.vmap(process, in_axes=(0, 0, 0, None, 0, 0, 0, 0))
     v_split = jax.vmap(jax.random.split, in_axes=(0, None))
 
-    def min_len_mask3(logits, step):
-        if sampling.min_new_tokens <= 0:
-            return logits
-        return jnp.where(step < sampling.min_new_tokens,
-                         logits.at[:, :, stop].set(-jnp.inf), logits)
-
-    def row_is_done(cand_max, hyp_scores, step):
-        """HF BeamHypotheses.is_done (early_stopping=False, transformers
-        4.52): worst hyp >= the step's best CANDIDATE score (process passes
-        `next_scores.max()`, the top of the 2K list — which may be an EOS
-        candidate) normalized at the CURRENT generated length."""
-        n_full = jnp.all(jnp.isfinite(hyp_scores), axis=1)
-        worst_hyp = jnp.min(hyp_scores, axis=1)
-        return n_full & (worst_hyp >= norm(cand_max, step))
+    row_is_done = functools.partial(_hyps_done, norm=norm)
 
     def advance(step, combined, rkeys, beam_scores, hyp_scores, hyp_tokens,
                 hyp_lens, tokens, counts, kv, kv_valid, anc, row_done):
@@ -325,8 +361,7 @@ def generate_beam(params: Params, cfg: GPTConfig, dims: GPT2Dims,
                 anc, row_done)
 
     # --- first step (expands beam 0 only of every row) ----------------------
-    logits0 = min_len_mask3(logits0, 0)
-    combined0 = v_scores(logits0, counts0, beam_scores0)
+    combined0 = v_scores(logits0, counts0, beam_scores0, jnp.int32(0))
     (row_keys, _, nt0, beam_scores, hyp_scores, hyp_tokens, hyp_lens, tokens,
      counts, kv, kv_valid, anc, row_done) = advance(
         jnp.int32(0), combined0, row_keys0, beam_scores0, hyp_scores0,
@@ -354,8 +389,7 @@ def generate_beam(params: Params, cfg: GPTConfig, dims: GPT2Dims,
         else:
             h, kv = _decode_step(fused, params, x, dims, pos, kv, kv_valid)
         logits = mel_logits_from_hidden(params, h).reshape(B, K, V)
-        logits = min_len_mask3(logits, step)
-        combined = v_scores(logits, counts, beam_scores)
+        combined = v_scores(logits, counts, beam_scores, step)
         (rkeys, _, new_toks, beam_scores, hyp_scores, hyp_tokens, hyp_lens,
          tokens, counts, kv, kv_valid, anc, row_done) = advance(
             step, combined, rkeys, beam_scores, hyp_scores, hyp_tokens,
@@ -373,28 +407,10 @@ def generate_beam(params: Params, cfg: GPTConfig, dims: GPT2Dims,
     # of completed steps = `step`, i.e. norm at step-1)
     final_scores = norm(beam_scores, step - 1) if lp != 0 else beam_scores
 
-    def close_row(fs, tk, hs, ht, hl, done):
-        def close_beam(k, st):
-            hs, ht, hl = st
-            worst = jnp.argmin(hs)
-            take = (~done) & (fs[k] > hs[worst])
-            hs = jnp.where(take, hs.at[worst].set(fs[k]), hs)
-            ht = jnp.where(take, ht.at[worst].set(tk[k]), ht)
-            hl = jnp.where(take, hl.at[worst].set(step), hl)
-            return hs, ht, hl
-
-        return jax.lax.fori_loop(0, K, close_beam, (hs, ht, hl))
-
-    hyp_scores, hyp_tokens, hyp_lens = jax.vmap(close_row)(
+    hyp_scores, hyp_tokens, hyp_lens = jax.vmap(
+        functools.partial(_close_live, K=K, step=step))(
         final_scores, tokens, hyp_scores, hyp_tokens, hyp_lens, row_done)
-    best = jnp.argmax(hyp_scores, axis=1)                        # (B,)
-    out_tokens = jnp.take_along_axis(hyp_tokens, best[:, None, None],
-                                     axis=1)[:, 0]
-    out_len = jnp.take_along_axis(hyp_lens, best[:, None], axis=1)[:, 0]
-    # stop-pad past the hypothesis length
-    arange = jnp.arange(max_new_tokens)[None, :]
-    out_tokens = jnp.where(arange < out_len[:, None], out_tokens, stop)
-    return out_tokens, out_len
+    return _best_hyp(hyp_scores, hyp_tokens, hyp_lens, max_new_tokens, stop)
 
 
 @functools.partial(
@@ -491,22 +507,12 @@ def generate_group_beam(params: Params, cfg: GPTConfig, dims: GPT2Dims,
     process = functools.partial(_scorer_process, K=Kg, stop=stop, norm=norm)
     v_process = jax.vmap(process, in_axes=(0, 0, 0, None, 0, 0, 0, 0))
 
-    def grp_is_done(cand_max, hyp_scores, step):
-        n_full = jnp.all(jnp.isfinite(hyp_scores), axis=1)
-        worst = jnp.min(hyp_scores, axis=1)
-        return n_full & (worst >= norm(cand_max, step))
-
-    def min_len_mask(logits, step):                        # (BG, Kg, V)
-        if sampling.min_new_tokens <= 0:
-            return logits
-        return jnp.where(step < sampling.min_new_tokens,
-                         logits.at[:, :, stop].set(-jnp.inf), logits)
+    grp_is_done = functools.partial(_hyps_done, norm=norm)
 
     def advance(step, logits, beam_scores, hyp_scores, hyp_tokens, hyp_lens,
                 tokens, counts, kv, kv_valid, anc, grp_done):
         """One full scorer step: groups sequentially (diversity coupling),
         then one global cache/ancestry reorder."""
-        logits = min_len_mask(logits.reshape(BG, Kg, V), step)
         lf4 = jax.nn.log_softmax(
             logits.astype(jnp.float32), axis=-1).reshape(B, G, Kg, V)
         bs4 = beam_scores.reshape(B, G, Kg)
@@ -524,6 +530,7 @@ def generate_group_beam(params: Params, cfg: GPTConfig, dims: GPT2Dims,
                 s = s - div * freq[:, None, :]
             s = apply_repetition_penalty(s, cn4[:, g],
                                          sampling.repetition_penalty)
+            s = _min_new_mask(s, stop, step, sampling.min_new_tokens)
             flat = (s + bs4[:, g][:, :, None]).reshape(B, Kg * V)
             cand_scores, idx = jax.lax.top_k(flat, 2 * Kg)
             cb, ct = idx // V, idx % V
@@ -609,27 +616,8 @@ def generate_group_beam(params: Params, cfg: GPTConfig, dims: GPT2Dims,
     # pool every group's hyps per row and take the best (HF finalize)
     final_scores = norm(beam_scores, step - 1) if lp != 0 else beam_scores
 
-    def close_grp(fs, tk, hs, ht, hl, done):
-        def close_beam(k, st):
-            hs, ht, hl = st
-            worst = jnp.argmin(hs)
-            take = (~done) & (fs[k] > hs[worst])
-            hs = jnp.where(take, hs.at[worst].set(fs[k]), hs)
-            ht = jnp.where(take, ht.at[worst].set(tk[k]), ht)
-            hl = jnp.where(take, hl.at[worst].set(step), hl)
-            return hs, ht, hl
-
-        return jax.lax.fori_loop(0, Kg, close_beam, (hs, ht, hl))
-
-    hyp_scores, hyp_tokens, hyp_lens = jax.vmap(close_grp)(
+    hyp_scores, hyp_tokens, hyp_lens = jax.vmap(
+        functools.partial(_close_live, K=Kg, step=step))(
         final_scores, tokens, hyp_scores, hyp_tokens, hyp_lens, grp_done)
-    hyp_scores = hyp_scores.reshape(B, K)
-    hyp_tokens = hyp_tokens.reshape(B, K, L)
-    hyp_lens = hyp_lens.reshape(B, K)
-    best = jnp.argmax(hyp_scores, axis=1)                        # (B,)
-    out_tokens = jnp.take_along_axis(hyp_tokens, best[:, None, None],
-                                     axis=1)[:, 0]
-    out_len = jnp.take_along_axis(hyp_lens, best[:, None], axis=1)[:, 0]
-    arange = jnp.arange(max_new_tokens)[None, :]
-    out_tokens = jnp.where(arange < out_len[:, None], out_tokens, stop)
-    return out_tokens, out_len
+    return _best_hyp(hyp_scores.reshape(B, K), hyp_tokens.reshape(B, K, L),
+                     hyp_lens.reshape(B, K), max_new_tokens, stop)

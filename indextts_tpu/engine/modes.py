@@ -74,8 +74,8 @@ def generate_contrastive(params: Params, cfg: GPTConfig, dims: GPT2Dims,
     k = sampling.top_k
     alpha = jnp.float32(sampling.penalty_alpha)
     stop = cfg.stop_mel_token
+    # cache length == hidden-context length: both index pos = P+1+step
     S = P + 1 + max_new_tokens
-    Ctx = P + 1 + max_new_tokens
 
     prefix_embeds = prefix_embeds.astype(dtype)
     start_tok = jnp.full((B,), cfg.start_mel_token, jnp.int32)
@@ -96,10 +96,10 @@ def generate_contrastive(params: Params, cfg: GPTConfig, dims: GPT2Dims,
 
     # last-layer hidden history for the degeneration penalty (f32 like HF's
     # .float() ranking math); prefill writes [0, P+1)
-    ctx_h = jnp.zeros((B, Ctx, D), jnp.float32)
+    ctx_h = jnp.zeros((B, S, D), jnp.float32)
     ctx_h = jax.lax.dynamic_update_slice(
         ctx_h, hidden.astype(jnp.float32), (0, 0, 0))
-    ctx_v = jnp.zeros((B, Ctx), bool)
+    ctx_v = jnp.zeros((B, S), bool)
     ctx_v = jax.lax.dynamic_update_slice(ctx_v, seq_mask, (0, 0))
 
     counts = jnp.zeros((B, V), jnp.int32)
@@ -215,11 +215,15 @@ def _dola_contrast(cands: Tuple[int, ...], prem: jnp.ndarray,
         sm = jax.nn.softmax(mature, axis=-1)                    # (B, V)
         sp = jax.nn.softmax(prem, axis=-1)                      # (C, B, V)
         avg = 0.5 * (sm[None] + sp)
-        log_avg = jnp.log(avg)
-        kl1 = jnp.mean(avg * (log_avg
-                              - jax.nn.log_softmax(mature, axis=-1)[None]),
+        # torch F.kl_div computes xlogy(target, target) - target*input, so
+        # a token whose probability underflows to exactly 0 in f32
+        # contributes 0, not 0*log(0)=NaN; log_softmax stays finite for
+        # finite logits, so avg*log_p is safe
+        a_log_a = jax.scipy.special.xlogy(avg, avg)
+        kl1 = jnp.mean(a_log_a
+                       - avg * jax.nn.log_softmax(mature, axis=-1)[None],
                        axis=-1)                                 # (C, B)
-        kl2 = jnp.mean(avg * (log_avg - jax.nn.log_softmax(prem, axis=-1)),
+        kl2 = jnp.mean(a_log_a - avg * jax.nn.log_softmax(prem, axis=-1),
                        axis=-1)
         js = 0.5 * (kl1 + kl2)
         li = jnp.argmax(jnp.mean(js, axis=-1))                  # scalar

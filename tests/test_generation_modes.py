@@ -116,6 +116,30 @@ def test_beam_negative_length_penalty_parity(rig):
     assert ours == ref
 
 
+def test_beam_min_new_tokens_parity(rig):
+    """min_new_tokens in beam mode: HF's processor -inf's the stop lane on
+    the POST-log_softmax scores (no renormalization) — masking raw logits
+    pre-softmax boosts every beam's non-stop scores by a beam-dependent
+    constant and reorders candidates (r5 review fix)."""
+    ref = ref_gen(rig, do_sample=False, num_beams=4, repetition_penalty=1.3,
+                  length_penalty=1.0, min_new_tokens=3,
+                  num_return_sequences=1)
+    ours = our_gen(rig, generate_beam, num_beams=4, repetition_penalty=1.3,
+                   length_penalty=1.0, min_new_tokens=3)
+    assert ours == ref
+
+
+def test_group_beam_min_new_tokens_parity(rig):
+    ref = ref_gen(rig, do_sample=False, num_beams=4, num_beam_groups=2,
+                  diversity_penalty=1.0, repetition_penalty=1.3,
+                  length_penalty=1.0, min_new_tokens=3,
+                  num_return_sequences=1)
+    ours = our_gen(rig, generate_group_beam, num_beams=4, num_beam_groups=2,
+                   diversity_penalty=1.0, repetition_penalty=1.3,
+                   length_penalty=1.0, min_new_tokens=3)
+    assert ours == ref
+
+
 @pytest.mark.parametrize("beams,groups,div", [(4, 2, 2.0), (4, 4, 1.0),
                                               (6, 3, 0.7)])
 def test_group_beam_parity(rig, beams, groups, div):
